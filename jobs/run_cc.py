@@ -1,0 +1,50 @@
+"""spark-submit entry: connected components over an edge table.
+
+Usage:
+  spark-submit --py-files pcgraph.zip jobs/run_cc.py \
+      --edges <parquet dir or file with columns src,dst> \
+      --out <output parquet> [--partitions P] [--max-iter N] \
+      [--checkpoint-dir DIR] [--resume-from DIR] [--salt-threshold T]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--max-iter", type=int, default=200)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--salt-threshold", type=int, default=None)
+    args = ap.parse_args()
+
+    from pcgraph.algos.cc import connected_components
+
+    spark = SparkSession.builder.appName("pcgraph-cc").getOrCreate()
+    edges = spark.read.parquet(args.edges)
+    result, history = connected_components(
+        spark,
+        edges,
+        num_partitions=args.partitions,
+        max_iter=args.max_iter,
+        salt_threshold=args.salt_threshold,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume_from,
+    )
+    result.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"algorithm": "connected_components", "rounds": history}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

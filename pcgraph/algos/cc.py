@@ -1,0 +1,145 @@
+"""Connected components — min-label propagation, partition-centric.
+
+Semantics match the reference library algorithm
+(/root/reference/src/main/java/org/apache/flink/graph/partition/centric/
+library/PCConnectedComponents.java):
+  * graph symmetrized first (PCConnectedComponents.java:53-54);
+  * per-partition kernel propagates the minimum component id across all
+    locally-known edges to a local fixpoint (the union-find with
+    min-value roots at :140-182 — here a vectorized ``np.minimum.at``
+    scatter loop, same fixpoint);
+  * externals start at Long.MAX_VALUE (:102) — here +inf seed;
+  * message per vertex whose component improved (:108-117);
+  * vertex update keeps the min and emits only on strict improvement
+    (:122-138) — here ``least(value, min(msgs))`` + changed filter;
+  * vertices with no edges never enter partition processing and keep
+    their initial value (SURVEY.md §1.4 singleton rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import PCEngine
+from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected edge set: union with reversed edges, dedup.
+
+    Reference: Graph.getUndirected() at PCConnectedComponents.java:54 and
+    the manual both-directions insert at GraphGenerator.java:57-60.
+    """
+    e = edges.select("src", "dst")
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def cc_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Local min-label fixpoint over one partition's CSR block.
+
+    Vectorized analog of the reference's per-partition union-find
+    (PCConnectedComponents.java:68-119): seed active vertices with their
+    frontier component, externals with +inf, then scatter-min along the
+    block's edges until a local fixpoint; message every node whose
+    component improved.
+    """
+    if len(bpdf) == 0 or len(fpdf) == 0:
+        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="int64")})
+    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
+    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
+    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    esrc = block_edge_source_index(indptr)
+
+    val = np.full(len(nodes), _I64_MAX, dtype=np.int64)
+    fids = fpdf["id"].to_numpy(dtype=np.int64)
+    fvals = fpdf["value"].to_numpy(dtype=np.int64)
+    pos = np.searchsorted(nodes, fids)
+    ok = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == fids)
+    np.minimum.at(val, pos[ok], fvals[ok])
+    init = val.copy()
+
+    while True:  # local supersteps, each fully vectorized
+        prev = val.copy()
+        np.minimum.at(val, edst, val[esrc])
+        if np.array_equal(prev, val):
+            break
+
+    send = val < init
+    return pd.DataFrame({"dst": nodes[send], "msg": val[send]})
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    num_partitions: int = 16,
+    max_iter: int = 200,
+    salt_threshold: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume_from: str | None = None,
+    blocks: GraphBlocks | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Run CC to convergence; returns (DataFrame[id, component], metrics).
+
+    ``vertices`` (optional DataFrame[id]) adds isolated vertices that
+    keep their own id as component (singleton rule, SURVEY.md §1.4).
+    """
+    sym = symmetrize(edges)
+    if blocks is None:
+        blocks = build_blocks(
+            spark, sym, num_partitions, salt_threshold=salt_threshold
+        )
+    engine = PCEngine(
+        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
+    )
+
+    start_step = 0
+    if resume_from is not None:
+        resumed = engine.resume(resume_from)
+    else:
+        resumed = None
+    if resumed is not None:
+        state, frontier, meta = resumed
+        start_step = int(meta["superstep"])
+        engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+    else:
+        vset = vertex_ids(sym)
+        if vertices is not None:
+            vset = vset.union(vertices.select("id")).distinct()
+        state = vset.select(
+            "id", F.col("id").alias("value"), F.lit(True).alias("changed")
+        )
+        frontier = state.select("id", "value")
+
+    def update(state_df, msgs, step):
+        folded = msgs.groupBy("dst").agg(F.min("msg").alias("msg"))
+        joined = state_df.select("id", "value").join(
+            folded, state_df["id"] == folded["dst"], "left"
+        )
+        return joined.select(
+            "id",
+            F.least(F.col("value"), F.col("msg")).alias("value"),
+            F.coalesce(F.col("msg") < F.col("value"), F.lit(False)).alias("changed"),
+        )
+
+    state, history = engine.run(
+        blocks=blocks,
+        state=state,
+        frontier=frontier,
+        kernel=cc_kernel,
+        msg_schema="dst long, msg long",
+        update=update,
+        frontier_fn=lambda s: s.filter("changed").select("id", "value"),
+        max_iter=max_iter,
+        start_step=start_step,
+        algorithm="connected_components",
+    )
+    return state.select("id", F.col("value").alias("component")), history

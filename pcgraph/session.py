@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the partition-centric engine.
+
+Local-mode defaults mirror what we would set per-executor on a real
+cluster: shuffle partitions ~ cores, AQE on for the message shuffle,
+Arrow on for the grouped-map (pandas) kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pcgraph",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``. ``shuffle_partitions`` defaults to
+    the core count (local mode) — the 200 default is wrong at both ends.
+    """
+    if cores is None:
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env_cores) if env_cores else os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(4, int(cores))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("PCGRAPH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
