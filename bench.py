@@ -1,0 +1,136 @@
+"""Headline benchmark: prints ONE JSON line with per-query seconds.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Queries:
+  * derive          — source-code table -> file dependency edges (Spark SQL)
+  * pagerank        — partition-centric PageRank to L1 < 1e-6 on that graph
+  * cc              — connected components to convergence
+  * label_prop      — 5 rounds synchronous LPA
+  * triangles       — exact triangle count (canonical 3-way join)
+  * minhash_dedup   — MinHash+LSH near-dup candidates on documents
+  * knn             — brute-force cosine top-3 for 20 queries on embeddings
+
+The graph input is the import graph derived from a deterministic
+synthetic source-code table (seed 42, size scaled to the sf dir) — the
+north-rule input shape; the documents/embeddings queries read the sf
+tables directly.  Extra keys: per-superstep metrics used by
+BENCH/BASELINE.md (edges/sec per superstep, scaling runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_FILES = {"0.001": 4_000, "0.01": 20_000, "0.1": 100_000}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_files = SF_FILES.get(sf, 100_000)
+
+    from pyspark.sql import functions as F
+
+    from pcgraph import derive, fixtures
+    from pcgraph.algos.cc import connected_components, symmetrize
+    from pcgraph.algos.labelprop import label_propagation
+    from pcgraph.algos.pagerank import pagerank
+    from pcgraph.algos.triangles import triangles_df
+    from pcgraph.datapipe.dedup import near_duplicates
+    from pcgraph.datapipe.similarity import cosine_topk_bruteforce
+    from pcgraph.session import get_spark
+
+    spark = get_spark(app_name="pcgraph-bench", cores=cpus, shuffle_partitions=cpus)
+    num_partitions = max(cpus, 16)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {"cpus": cpus, "n_files": n_files}
+
+    # -- input prep (not timed as a query): synth source table to parquet
+    src_path = f"/tmp/pcgraph_bench_source_sf{sf}.parquet"
+    if not os.path.exists(src_path):
+        pdf = fixtures.bench_source_pdf(n_files=n_files)
+        spark.createDataFrame(
+            pdf,
+            schema="repo string, path string, commit string, lang string, content string",
+        ).write.mode("overwrite").parquet(src_path)
+    source = spark.read.parquet(src_path)
+
+    t0 = time.monotonic()
+    edges = derive.dependency_edges(source, level="file")
+    edges.write.mode("overwrite").parquet("/tmp/pcgraph_bench_edges.parquet")
+    timings["derive"] = round(time.monotonic() - t0, 3)
+    edges = spark.read.parquet("/tmp/pcgraph_bench_edges.parquet")
+    n_edges = edges.count()
+    extras["n_edges"] = n_edges
+
+    t0 = time.monotonic()
+    pr, pr_hist = pagerank(
+        spark, edges, tol=1e-6, max_iter=50, num_partitions=num_partitions
+    )
+    pr.count()
+    timings["pagerank"] = round(time.monotonic() - t0, 3)
+    superstep_sec = sum(h["round_sec"] for h in pr_hist)
+    extras["pagerank_supersteps"] = len(pr_hist)
+    extras["pagerank_l1_final"] = pr_hist[-1]["l1"]
+    extras["pagerank_superstep_sec"] = round(superstep_sec, 3)
+    extras["pagerank_edges_per_sec_per_superstep"] = round(
+        n_edges * len(pr_hist) / superstep_sec, 1
+    )
+
+    t0 = time.monotonic()
+    cc, cc_hist = connected_components(
+        spark, edges, num_partitions=num_partitions
+    )
+    cc.count()
+    timings["cc"] = round(time.monotonic() - t0, 3)
+    extras["cc_supersteps"] = len(cc_hist)
+
+    t0 = time.monotonic()
+    lp, _ = label_propagation(
+        spark, edges, max_iter=5, num_partitions=num_partitions
+    )
+    lp.count()
+    timings["label_prop"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_tri = triangles_df(symmetrize(edges)).count()
+    timings["triangles"] = round(time.monotonic() - t0, 3)
+    extras["n_triangles"] = n_tri
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    near_duplicates(docs, threshold=0.2).count()
+    timings["minhash_dedup"] = round(time.monotonic() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.monotonic()
+    cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 20), k=3).count()
+    timings["knn"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Label propagation — synchronous LPA, partition-centric.
+
+Mandated by the north rule (no reference counterpart; reference supplies
+the superstep model — PartitionCentricIteration.java:95-112).  Semantics
+(standard synchronous LPA, made deterministic per BASELINE.json "label
+assignments exactly"):
+
+  * init: label(v) = v;
+  * each round every vertex adopts the most frequent label among its
+    in-neighbors (run on the symmetrized graph for the undirected case),
+    ties broken by the smallest label;
+  * a vertex with no neighbors keeps its label;
+  * stop when no label changed or ``max_iter`` reached (synchronous LPA
+    can oscillate on bipartite structures — max_iter caps that).
+
+The per-partition kernel partial-aggregates (dst, label) counts with a
+pandas groupby (C-side, no per-row Python); the global fold sums counts
+and picks ``min(struct(-count, label))`` — a deterministic arg-max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import PCEngine
+from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+
+
+def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Emit per-partition (dst, label, cnt) partial histograms."""
+    empty = pd.DataFrame(
+        {
+            "dst": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+        }
+    )
+    if len(bpdf) == 0 or len(fpdf) == 0:
+        return empty
+    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
+    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
+    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    esrc = block_edge_source_index(indptr)
+
+    label = np.full(len(nodes), -1, dtype=np.int64)
+    fids = fpdf["id"].to_numpy(dtype=np.int64)
+    fvals = fpdf["value"].to_numpy(dtype=np.int64)
+    pos = np.searchsorted(nodes, fids)
+    ok = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == fids)
+    label[pos[ok]] = fvals[ok]
+
+    active = label[esrc] >= 0
+    if not active.any():
+        return empty
+    pairs = pd.DataFrame({"dst": nodes[edst[active]], "label": label[esrc[active]]})
+    counts = pairs.groupby(["dst", "label"], sort=False).size().reset_index(name="cnt")
+    return counts
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+    num_partitions: int = 16,
+    directed: bool = False,
+    salt_threshold: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume_from: str | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Run synchronous LPA; returns (DataFrame[id, label], metrics)."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    blocks = build_blocks(spark, e, num_partitions, salt_threshold=salt_threshold)
+    engine = PCEngine(
+        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
+    )
+
+    start_step = 0
+    resumed = engine.resume(resume_from) if resume_from else None
+    if resumed is not None:
+        state, _, meta = resumed
+        start_step = int(meta["superstep"])
+        engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+    else:
+        vset = vertex_ids(e)
+        if vertices is not None:
+            vset = vset.union(vertices.select("id")).distinct()
+        state = vset.select(
+            "id", F.col("id").alias("value"), F.lit(True).alias("changed")
+        )
+
+    def update(state_df, msgs, step):
+        folded = msgs.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
+        # deterministic arg-max: max count, ties -> smallest label
+        best = folded.groupBy("dst").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label"))
+            ).alias("b")
+        ).select("dst", F.col("b.label").alias("new_label"))
+        joined = state_df.select("id", "value").join(
+            best, state_df["id"] == best["dst"], "left"
+        )
+        return joined.select(
+            "id",
+            F.coalesce(F.col("new_label"), F.col("value")).alias("value"),
+            F.coalesce(
+                F.col("new_label") != F.col("value"), F.lit(False)
+            ).alias("changed"),
+        )
+
+    def metrics_fn(new_state, step):
+        changed = new_state.filter("changed").count()
+        return {"active": changed, "changed": changed}
+
+    # Synchronous LPA: every vertex re-evaluates each round, so the
+    # frontier is the full state until convergence (unlike CC's delta).
+    state, history = engine.run(
+        blocks=blocks,
+        state=state,
+        frontier=None,
+        kernel=lp_kernel,
+        msg_schema="dst long, label long, cnt long",
+        update=update,
+        frontier_fn=lambda s: s.select("id", "value"),
+        metrics_fn=metrics_fn,
+        max_iter=max_iter,
+        start_step=start_step,
+        algorithm="label_propagation",
+    )
+    return state.select("id", F.col("value").alias("label")), history

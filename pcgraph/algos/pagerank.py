@@ -1,0 +1,171 @@
+"""PageRank — partition-centric push iteration.
+
+Mandated by the north rule (not in the reference, which ships only
+CC/SSSP — /root/reference/src/main/java/.../library/); semantics follow
+the standard published formulation, executed with the reference's
+superstep model (synchronous rounds, sum-fold messages — cf.
+PartitionCentricIteration.java:95-112):
+
+    pr'(v) = (1-d)/N + d * ( sum_{u->v} pr(u)/outdeg(u) + dangling/N )
+
+with d = 0.85, dangling = total rank of vertices with no out-edges
+(redistributed uniformly), convergence when the L1 delta
+``sum |pr' - pr|`` drops below ``tol`` (default 1e-6).
+
+The per-partition kernel scatters frontier contributions along the CSR
+block edges and partial-aggregates per destination with ``np.bincount``
+(the map-side combiner); the global ``groupBy(dst).sum`` is the only
+shuffle per superstep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import PCEngine
+from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+
+
+def pr_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Scatter pr/outdeg contributions along block edges, pre-summed per
+    destination (one message per (partition, dst) instead of per edge)."""
+    empty = pd.DataFrame(
+        {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
+    )
+    if len(bpdf) == 0 or len(fpdf) == 0:
+        return empty
+    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
+    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
+    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    esrc = block_edge_source_index(indptr)
+
+    val = np.zeros(len(nodes), dtype=np.float64)
+    fids = fpdf["id"].to_numpy(dtype=np.int64)
+    fvals = fpdf["value"].to_numpy(dtype=np.float64)
+    pos = np.searchsorted(nodes, fids)
+    ok = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == fids)
+    val[pos[ok]] = fvals[ok]
+
+    contrib = val[esrc]
+    w = np.asarray(bpdf["weight"].iloc[0], dtype=np.float64)
+    if len(w) == len(contrib):
+        contrib = contrib * w
+    sums = np.bincount(edst, weights=contrib, minlength=len(nodes))
+    nz = sums != 0.0
+    if not nz.any():
+        return empty
+    return pd.DataFrame({"dst": nodes[nz], "msg": sums[nz]})
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_partitions: int = 16,
+    weighted: bool = False,
+    salt_threshold: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume_from: str | None = None,
+    blocks: GraphBlocks | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Run PageRank to L1 convergence; returns (DataFrame[id, pagerank],
+    per-round metrics incl. l1 delta and dangling mass)."""
+    e = edges.select("src", "dst", *(["weight"] if weighted else []))
+    if blocks is None:
+        blocks = build_blocks(
+            spark, e, num_partitions, salt_threshold=salt_threshold, weighted=weighted
+        )
+    engine = PCEngine(
+        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
+    )
+
+    deg_expr = F.sum("weight") if weighted else F.count("*")
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        deg_expr.cast("double").alias("out_deg")
+    )
+
+    start_step = 0
+    loop_state = {"dangling": 0.0}
+    resumed = engine.resume(resume_from) if resume_from else None
+    if resumed is not None:
+        state, _, meta = resumed
+        start_step = int(meta["superstep"])
+        n_vertices = int(meta["n_vertices"])
+        loop_state["dangling"] = float(meta["dangling"])
+        engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+    else:
+        vset = vertex_ids(e)
+        if vertices is not None:
+            vset = vset.union(vertices.select("id")).distinct()
+        vset = vset.join(out_deg, on="id", how="left").fillna(0.0, subset=["out_deg"])
+        vset = vset.persist()
+        n_vertices = vset.count()
+        init = 1.0 / n_vertices
+        state = vset.select(
+            "id",
+            F.lit(init).alias("pr"),
+            F.lit(init).alias("prev_pr"),
+            "out_deg",
+        )
+        n_dangling = vset.filter(F.col("out_deg") == 0).count()
+        loop_state["dangling"] = n_dangling * init
+        vset.unpersist()
+
+    d = damping
+    base = (1.0 - d) / n_vertices
+
+    def update(state_df, msgs, step):
+        folded = msgs.groupBy("dst").agg(F.sum("msg").alias("msg"))
+        joined = state_df.join(folded, state_df["id"] == folded["dst"], "left")
+        new_pr = F.lit(base) + F.lit(d) * (
+            F.coalesce(F.col("msg"), F.lit(0.0))
+            + F.lit(loop_state["dangling"] / n_vertices)
+        )
+        return joined.select(
+            "id", new_pr.alias("pr"), F.col("pr").alias("prev_pr"), "out_deg"
+        )
+
+    def metrics_fn(new_state, step):
+        row = new_state.agg(
+            F.sum(F.abs(F.col("pr") - F.col("prev_pr"))).alias("l1"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("pr")).otherwise(0.0)).alias(
+                "dangling"
+            ),
+            F.sum("pr").alias("total_mass"),
+        ).collect()[0]
+        loop_state["dangling"] = float(row["dangling"] or 0.0)
+        return {
+            "l1": float(row["l1"]),
+            "dangling": loop_state["dangling"],
+            "total_mass": float(row["total_mass"]),
+            "n_vertices": n_vertices,
+            "active": n_vertices,
+            "converged": float(row["l1"]) < tol,
+        }
+
+    def frontier_fn(state_df):
+        return state_df.filter(F.col("out_deg") > 0).select(
+            "id", (F.col("pr") / F.col("out_deg")).alias("value")
+        )
+
+    state, history = engine.run(
+        blocks=blocks,
+        state=state,
+        frontier=None,
+        kernel=pr_kernel,
+        msg_schema="dst long, msg double",
+        update=update,
+        frontier_fn=frontier_fn,
+        metrics_fn=metrics_fn,
+        max_iter=max_iter,
+        start_step=start_step,
+        algorithm="pagerank",
+    )
+    return state.select("id", F.col("pr").alias("pagerank")), history

@@ -1,0 +1,123 @@
+"""Single-source shortest paths — partition-centric, min-fold.
+
+The reference ships an SSSP library algorithm
+(/root/reference/src/main/java/.../library/PCSingleSourceShortestPaths.java)
+whose partition kernel fills a local distance map but never calls
+``sendMessage`` (no call anywhere in :109-163), so cross-partition
+distances never propagate — a latent, untested defect (SURVEY.md op
+#18).  We therefore implement the *spec*: source seeded 0.0, all others
++inf (mapVertices semantics at :76-92), per-partition relaxation to a
+local fixpoint, messages for every vertex whose local distance improved,
+global min fold, emit-on-strict-improvement (:173-192).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import PCEngine
+from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+
+_INF = float("inf")
+
+
+def sssp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Local Bellman-Ford relaxation to a fixpoint (vectorized scatter-min
+    over the block's weighted edges), the analog of the reference's local
+    Dijkstra (PCSingleSourceShortestPaths.java:99-165) — same local
+    fixpoint, numpy instead of a binary heap."""
+    empty = pd.DataFrame(
+        {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
+    )
+    if len(bpdf) == 0 or len(fpdf) == 0:
+        return empty
+    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
+    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
+    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    w = np.asarray(bpdf["weight"].iloc[0], dtype=np.float64)
+    esrc = block_edge_source_index(indptr)
+
+    dist = np.full(len(nodes), _INF, dtype=np.float64)
+    fids = fpdf["id"].to_numpy(dtype=np.int64)
+    fvals = fpdf["value"].to_numpy(dtype=np.float64)
+    pos = np.searchsorted(nodes, fids)
+    ok = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == fids)
+    np.minimum.at(dist, pos[ok], fvals[ok])
+    init = dist.copy()
+
+    while True:  # local supersteps: relax all edges, fully vectorized
+        prev = dist.copy()
+        np.minimum.at(dist, edst, dist[esrc] + w)
+        if np.array_equal(prev, dist):
+            break
+
+    send = dist < init
+    return pd.DataFrame({"dst": nodes[send], "msg": dist[send]})
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    vertices: DataFrame | None = None,
+    max_iter: int = 200,
+    num_partitions: int = 16,
+    salt_threshold: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume_from: str | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
+    metrics).  Unreached vertices have distance +inf."""
+    e = edges.select("src", "dst", "weight")
+    blocks = build_blocks(
+        spark, e, num_partitions, salt_threshold=salt_threshold, weighted=True
+    )
+    engine = PCEngine(
+        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
+    )
+
+    start_step = 0
+    resumed = engine.resume(resume_from) if resume_from else None
+    if resumed is not None:
+        state, frontier, meta = resumed
+        start_step = int(meta["superstep"])
+        engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+    else:
+        vset = vertex_ids(e)
+        if vertices is not None:
+            vset = vset.union(vertices.select("id")).distinct()
+        state = vset.select(
+            "id",
+            F.when(F.col("id") == source, 0.0).otherwise(F.lit(_INF)).alias("value"),
+            (F.col("id") == source).alias("changed"),
+        )
+        frontier = state.filter("changed").select("id", "value")
+
+    def update(state_df, msgs, step):
+        folded = msgs.groupBy("dst").agg(F.min("msg").alias("msg"))
+        joined = state_df.select("id", "value").join(
+            folded, state_df["id"] == folded["dst"], "left"
+        )
+        return joined.select(
+            "id",
+            F.least(F.col("value"), F.col("msg")).alias("value"),
+            F.coalesce(F.col("msg") < F.col("value"), F.lit(False)).alias("changed"),
+        )
+
+    state, history = engine.run(
+        blocks=blocks,
+        state=state,
+        frontier=frontier,
+        kernel=sssp_kernel,
+        msg_schema="dst long, msg double",
+        update=update,
+        frontier_fn=lambda s: s.filter("changed").select("id", "value"),
+        max_iter=max_iter,
+        start_step=start_step,
+        algorithm="sssp",
+    )
+    return state.select("id", F.col("value").alias("distance")), history

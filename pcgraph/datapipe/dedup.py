@@ -1,0 +1,171 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Designed for 100 TB document corpora: every stage is a shuffle on a
+bounded key (content hash, band key, shingle) with map-side partial
+aggregation; no driver-side collection, no per-row Python.  MinHash uses
+portable string-min over sha2 hex digests so the same signature is
+computable in any engine (our DuckDB oracles reproduce it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    canonical (minimum) id and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct k-word shingles per document: DataFrame[id, shingle].
+
+    Pure SQL: split + slide via transform/sequence (JVM-side); documents
+    shorter than k words produce no shingles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(F.size(toks) < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, seeds: tuple[str, ...] = DEFAULT_SEEDS
+) -> DataFrame:
+    """MinHash signature per document: for each seed, the minimum
+    sha2-hex of (seed || '|' || shingle).  String-min over hex digests is
+    a valid uniform minhash and is engine-portable."""
+    aggs = [
+        F.min(F.sha2(F.concat_ws("|", F.lit(seed), F.col("shingle")), 256)).alias(
+            f"sig{i}"
+        )
+        for i, seed in enumerate(seeds)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 2) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing any band key.
+
+    Bands = consecutive signature pairs concatenated; a band-key
+    self-join per band, unioned + distinct.  Each band join shuffles on
+    the band hash — bounded fan-out as long as true duplicate clusters
+    are bounded (the standard LSH trade-off)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("sig")]
+    per_band = len(sig_cols) // n_bands
+    pairs = None
+    for b in range(n_bands):
+        cols = sig_cols[b * per_band : (b + 1) * per_band]
+        banded = signatures.select(
+            "id", F.concat_ws("|", *[F.col(c) for c in cols]).alias("band")
+        )
+        left = banded.select(F.col("id").alias("id1"), "band")
+        right = banded.select(F.col("id").alias("id2"), "band")
+        p = left.join(right, "band").filter(F.col("id1") < F.col("id2")).select(
+            "id1", "id2"
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct()
+
+
+def jaccard_similarity(
+    shingles: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|.
+
+    Intersection via co-grouped join on shingle restricted to the
+    candidate pairs; sizes via per-doc counts.  Integer arithmetic until
+    the final division (deterministic across engines)."""
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
+    a = shingles.select(F.col("id").alias("id1"), "shingle")
+    b = shingles.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(pairs, ["id1", "id2"])  # semi-restrict to candidates
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("n", "n1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("n", "n2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: shingle -> minhash ->
+    band-bucket join -> exact Jaccard verify -> threshold filter."""
+    sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sigs)
+    jac = jaccard_similarity(sh, cands)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word tokens, fully JVM-side.
+
+    Per doc: for each of 64 bit positions, sum +/-1 over token hashes'
+    bits; bit j of the simhash = (sum_j >= 0).  Expressed as explode +
+    groupBy-sum over (doc, bit) — no Python.  Hamming-close simhashes =
+    near-duplicate candidates."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    bits = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).select(
+        "id",
+        "bit",
+        F.expr(
+            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1L) = 1L THEN 1 ELSE -1 END"
+        ).alias("v"),
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("v").alias("s"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s >= 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END"
+            )
+        ).alias("simhash")
+    )

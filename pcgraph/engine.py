@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,6 +94,7 @@ class PCEngine:
         step = start_step
         while step < max_iter:
             step += 1
+            round_t0 = time.monotonic()
             routed = blocks.route(frontier)
             msgs = (
                 routed.groupby("partition_id")
@@ -119,7 +121,11 @@ class PCEngine:
             metrics = metrics_fn(new_state, step) if metrics_fn else {}
             if "active" not in metrics:
                 metrics["active"] = new_frontier.count()
-            metrics.update(superstep=step, algorithm=algorithm)
+            metrics.update(
+                superstep=step,
+                algorithm=algorithm,
+                round_sec=round(time.monotonic() - round_t0, 4),
+            )
 
             if do_ckpt:
                 self._commit_round(blocks, step, new_frontier, metrics)

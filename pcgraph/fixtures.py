@@ -57,6 +57,46 @@ def hash_path(path: str) -> int:
     return int.from_bytes(hashlib.sha256(path.encode()).digest()[:4], "big")
 
 
+def bench_source_pdf(
+    n_files: int = 100_000, n_repos: int = 500, seed: int = 42, zipf_a: float = 1.5
+) -> pd.DataFrame:
+    """Scalable deterministic source-code table for benchmarks (same
+    schema as F1, sized by ``n_files``).  Import targets are Zipf-
+    distributed over files, so the derived link graph has realistic
+    heavy-tailed in-degree skew (out-hubs after symmetrization)."""
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n_files)
+    n_pkgs = 997
+    pkg = idx % n_pkgs
+    mod = idx // n_pkgs
+    repo_of = idx % n_repos
+    n_imports = rng.poisson(8, size=n_files)
+    targets = np.minimum(rng.zipf(zipf_a, size=int(n_imports.sum())), n_files) - 1
+    bounds = np.concatenate([[0], np.cumsum(n_imports)])
+    t_pkg = pkg[targets]
+    t_mod = mod[targets]
+    import_strs = np.char.add(
+        np.char.add("import pkg", t_pkg.astype(str)),
+        np.char.add(".mod", t_mod.astype(str)),
+    )
+    contents = [
+        "\n".join(import_strs[bounds[i] : bounds[i + 1]]) + f"\ndef f_{i}():\n    return {i}\n"
+        for i in range(n_files)
+    ]
+    return pd.DataFrame(
+        {
+            "repo": [f"org{r % 7}/repo{r}" for r in repo_of],
+            "path": [f"src/pkg{p}/mod{m}.py" for p, m in zip(pkg, mod)],
+            "commit": [
+                hashlib.sha256(f"{i}:c".encode()).hexdigest()[:40] for i in idx
+            ],
+            "lang": ["py", "java", "scala", "go"] * (n_files // 4)
+            + ["py"] * (n_files % 4),
+            "content": contents,
+        }
+    )
+
+
 # ----------------------------------------------------------------- F4
 def odd_even_graph(n: int = 500, seed: int = 0) -> pd.DataFrame:
     """Odd/even CC oracle graph (port of the reference's only automated

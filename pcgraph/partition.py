@@ -64,7 +64,11 @@ class GraphBlocks:
 def _pid_expr(src_col, num_partitions: int, salt_col=None):
     if salt_col is None:
         return F.pmod(F.xxhash64(src_col), F.lit(num_partitions)).cast("int")
-    return F.pmod(F.xxhash64(src_col, salt_col), F.lit(num_partitions)).cast("int")
+    # xxhash64 is input-type-sensitive: pin the salt to long so the edge
+    # assignment (pmod->long) and the mirror map (sequence->int) agree.
+    return F.pmod(
+        F.xxhash64(src_col, salt_col.cast("long")), F.lit(num_partitions)
+    ).cast("int")
 
 
 def _build_csr(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,134 @@
+"""Scaling-efficiency evidence: the same PageRank job at local[N] and
+local[4N] on the same input (north rule: >=0.8 throughput scaling
+efficiency between N and 4N parallelism; no real cluster in-sandbox, so
+two parallelism levels stand in — BASELINE.md measurement protocol).
+
+Throughput = |E| * supersteps / total superstep seconds (excludes
+session startup and block build).  Writes BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [--n-files 100000] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cores: int, edges_path: str) -> None:
+    from pcgraph.algos.pagerank import pagerank
+    from pcgraph.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pcgraph-scaling-{cores}", cores=cores, shuffle_partitions=cores
+    )
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()
+    _, hist = pagerank(
+        spark, edges, tol=1e-6, max_iter=30, num_partitions=max(cores, 16)
+    )
+    superstep_sec = sum(h["round_sec"] for h in hist)
+    print(
+        "SCALING_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_edges": n_edges,
+                "supersteps": len(hist),
+                "superstep_sec": round(superstep_sec, 3),
+                "throughput_edges_per_sec": round(
+                    n_edges * len(hist) / superstep_sec, 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_child(cores: int, edges_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(cores), "--edges", edges_path],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no result line in child output:\n{out.stdout[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--edges", default="/tmp/pcgraph_scaling_edges.parquet")
+    ap.add_argument("--n-files", type=int, default=100_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        child(args.child, args.edges)
+        return
+
+    if not os.path.exists(args.edges):
+        from pcgraph import derive, fixtures
+        from pcgraph.session import get_spark
+
+        spark = get_spark(app_name="scaling-prep", cores=8, shuffle_partitions=8)
+        pdf = fixtures.bench_source_pdf(n_files=args.n_files)
+        source = spark.createDataFrame(
+            pdf,
+            schema="repo string, path string, commit string, lang string, content string",
+        )
+        derive.dependency_edges(source, level="file").write.mode(
+            "overwrite"
+        ).parquet(args.edges)
+        spark.stop()
+
+    low = run_child(args.low, args.edges)
+    high = run_child(args.high, args.edges)
+    factor = args.high / args.low
+    efficiency = high["throughput_edges_per_sec"] / (
+        factor * low["throughput_edges_per_sec"]
+    )
+    report = {
+        "low": low,
+        "high": high,
+        "parallelism_factor": factor,
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            f"""# BENCH/BASELINE — measured scaling + throughput
+
+Protocol (BASELINE.md): deterministic synthetic input (seed 42,
+bench_source_pdf n_files={args.n_files} -> file-level import edges),
+same edge parquet + fixed partition count for both runs, wall-clock per
+global superstep excluding session startup and CSR block build;
+throughput = |E| x supersteps / total superstep seconds;
+efficiency = throughput({args.high}) / ({factor:.0f} x throughput({args.low})).
+
+| parallelism | edges | supersteps | superstep sec | edges/sec/superstep |
+|---|---|---|---|---|
+| local[{args.low}] | {low['n_edges']} | {low['supersteps']} | {low['superstep_sec']} | {low['throughput_edges_per_sec']} |
+| local[{args.high}] | {high['n_edges']} | {high['supersteps']} | {high['superstep_sec']} | {high['throughput_edges_per_sec']} |
+
+**Scaling efficiency (N={args.low} -> 4N={args.high}): {efficiency:.3f}**
+(target >= 0.8, north rule)
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pcgraph.datapipe.dedup import (
+    exact_duplicates,
+    jaccard_similarity,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    simhash64,
+    word_shingles,
+)
+from pcgraph.datapipe.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_metadata,
+    real_decoder,
+)
+from pcgraph.datapipe.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_bucketed,
+)
+from pcgraph.datapipe.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "der die und der die und der die und"),
+        (5, "a b"),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2
+    assert sum(out.values()) == 6
+
+
+def test_shingles_and_minhash(docs):
+    sh = word_shingles(docs)
+    per_doc = (
+        sh.groupBy("id").count().toPandas().set_index("id")["count"].to_dict()
+    )
+    assert per_doc[0] == 7  # 9 tokens -> 7 distinct 3-shingles
+    assert 5 not in per_doc  # too short -> no shingles
+    sigs = minhash_signatures(sh)
+    pdf = sigs.toPandas().set_index("id")
+    # identical docs -> identical signatures
+    assert (pdf.loc[0] == pdf.loc[2]).all()
+    # near-dups share most shingles -> likely equal min on some seed
+    assert pdf.shape[1] == 4
+
+
+def test_lsh_and_jaccard(docs):
+    sh = word_shingles(docs)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 2) in got  # exact dups always collide
+    jac = jaccard_similarity(sh, pairs).toPandas()
+    row = jac[(jac.id1 == 0) & (jac.id2 == 2)]
+    assert float(row["jaccard"].iloc[0]) == 1.0
+
+
+def test_near_duplicates_pipeline(docs):
+    nd = near_duplicates(docs, threshold=0.5).toPandas()
+    assert {(r.id1, r.id2) for r in nd.itertuples()} >= {(0, 2)}
+    assert (nd.jaccard >= 0.5).all()
+
+
+def test_simhash_properties(docs):
+    pdf = simhash64(docs).toPandas().set_index("id")
+    assert pdf.loc[0, "simhash"] == pdf.loc[2, "simhash"]  # exact dups equal
+    # near-dup (0 vs 1) closer in hamming distance than unrelated (0 vs 3)
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    h = pdf["simhash"]
+    assert ham(h[0], h[1]) < ham(h[0], h[3])
+
+
+def test_token_stats_and_quality(docs):
+    ts = token_stats(docs).toPandas().set_index("doc_id")
+    assert ts.loc[0, "n_tokens"] == 9
+    assert ts.loc[5, "n_tokens"] == 2
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    assert not q.loc[5, "keep"]  # too short
+    assert abs(q.loc[0, "stop_ratio"] - round(2 / 9, 6)) < 1e-9
+
+
+def test_language_id(docs):
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "predicted_lang"] == "en"
+    assert out.loc[4, "predicted_lang"] == "de"
+
+
+def test_fingerprint_dups_collide(docs):
+    fp = fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[2, "fingerprint"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[3, "fingerprint"]
+
+
+# ------------------------------------------------------------ similarity
+def test_knn_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(50, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": (np.arange(50) % 4).astype(np.int32),
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label int"
+    )
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") < 3), k=3).toPandas()
+    # numpy oracle
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    cos = (v @ v.T) / np.outer(norms, norms)
+    for q in range(3):
+        order = [
+            i
+            for i in sorted(range(50), key=lambda i: (-cos[q, i], i))
+            if i != q
+        ][:3]
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == order, (q, got, order)
+
+
+def test_knn_bucketed_restricts_to_bucket(spark):
+    rng = np.random.default_rng(14)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": (np.arange(40) % 4).astype(np.int32),
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label int"
+    )
+    out = cosine_topk_bucketed(df, df.filter(F.col("vec_id") < 4), k=3).toPandas()
+    for r in out.itertuples():
+        assert r.neighbor_id % 4 == r.query_id % 4  # same bucket only
+
+
+# ------------------------------------------------------------ multimodal
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake1", 64, 48, None, None),
+        (2, "image", b"\x89PNGfake2", 32, 32, None, None),
+        (3, "audio", b"RIFFfake", None, None, 16000, None),
+        (4, "video", b"\x00\x00ftypfake", 640, 480, None, 95),
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "media_id long, kind string, payload binary, width int, "
+            "height int, sample_rate int, n_frames int"
+        ),
+    )
+
+
+def test_media_metadata(media):
+    out = media_metadata(media).toPandas().set_index("media_id")
+    assert out.loc[1, "n_bytes"] == 9
+    assert len(out.loc[1, "payload_sha"]) == 64
+
+
+def test_extract_features_deterministic(media):
+    out = extract_features(media).toPandas().set_index("media_id")
+    assert all(len(f) == 8 for f in out["feature"])
+    out2 = extract_features(media).toPandas().set_index("media_id")
+    assert out.loc[1, "feature"] == pytest.approx(out2.loc[1, "feature"])
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        real_decoder("image", b"x")
+
+
+def test_frame_sample_plan(media):
+    out = frame_sample_plan(media, every_n=10).toPandas()
+    assert set(out.media_id) == {4}
+    assert out.frame_index.tolist() == list(range(0, 95, 10))
