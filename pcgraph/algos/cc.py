@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
-from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+from ..partition import (
+    GraphBlocks,
+    block_edge_source_index,
+    build_blocks,
+    unpack_block,
+    vertex_ids,
+)
 
 _I64_MAX = np.iinfo(np.int64).max
 
@@ -52,9 +58,7 @@ def cc_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     """
     if len(bpdf) == 0 or len(fpdf) == 0:
         return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="int64")})
-    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
-    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
-    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    nodes, indptr, edst, _ = unpack_block(bpdf)
     esrc = block_edge_source_index(indptr)
 
     val = np.full(len(nodes), _I64_MAX, dtype=np.int64)

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
-from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+from ..partition import (
+    GraphBlocks,
+    block_edge_source_index,
+    build_blocks,
+    unpack_block,
+    vertex_ids,
+)
 
 
 def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
@@ -40,9 +46,7 @@ def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     )
     if len(bpdf) == 0 or len(fpdf) == 0:
         return empty
-    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
-    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
-    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    nodes, indptr, edst, _ = unpack_block(bpdf)
     esrc = block_edge_source_index(indptr)
 
     label = np.full(len(nodes), -1, dtype=np.int64)

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
-from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+from ..partition import (
+    GraphBlocks,
+    block_edge_source_index,
+    build_blocks,
+    unpack_block,
+    vertex_ids,
+)
 
 
 def pr_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
@@ -37,9 +43,7 @@ def pr_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     )
     if len(bpdf) == 0 or len(fpdf) == 0:
         return empty
-    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
-    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
-    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
+    nodes, indptr, edst, w = unpack_block(bpdf)
     esrc = block_edge_source_index(indptr)
 
     val = np.zeros(len(nodes), dtype=np.float64)
@@ -50,7 +54,6 @@ def pr_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     val[pos[ok]] = fvals[ok]
 
     contrib = val[esrc]
-    w = np.asarray(bpdf["weight"].iloc[0], dtype=np.float64)
     if len(w) == len(contrib):
         contrib = contrib * w
     sums = np.bincount(edst, weights=contrib, minlength=len(nodes))

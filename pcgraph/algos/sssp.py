@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
-from ..partition import GraphBlocks, block_edge_source_index, build_blocks, vertex_ids
+from ..partition import (
+    GraphBlocks,
+    block_edge_source_index,
+    build_blocks,
+    unpack_block,
+    vertex_ids,
+)
 
 _INF = float("inf")
 
@@ -34,10 +40,7 @@ def sssp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     )
     if len(bpdf) == 0 or len(fpdf) == 0:
         return empty
-    nodes = np.asarray(bpdf["nodes"].iloc[0], dtype=np.int64)
-    indptr = np.asarray(bpdf["indptr"].iloc[0], dtype=np.int64)
-    edst = np.asarray(bpdf["edst"].iloc[0], dtype=np.int64)
-    w = np.asarray(bpdf["weight"].iloc[0], dtype=np.float64)
+    nodes, indptr, edst, w = unpack_block(bpdf)
     esrc = block_edge_source_index(indptr)
 
     dist = np.full(len(nodes), _INF, dtype=np.float64)

@@ -97,6 +97,81 @@ def bench_source_pdf(
     )
 
 
+def bench_source_df(
+    spark: SparkSession, n_files: int, n_repos: int = 5000, imports_per_file: int = 8
+) -> DataFrame:
+    """Distributed deterministic source-table generator (same schema as
+    F1) for large-scale benchmarks — pure Spark SQL, no driver bottleneck.
+
+    Import targets are log-uniform over file ids (Zipf-like skew toward
+    low ids), derived from ``xxhash64(id, k)`` so the table is identical
+    for a given ``n_files`` regardless of parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    n_pkgs = 997
+    df = spark.range(n_files).select(F.col("id"))
+    # u_k in [0,1) per (file, import slot); target = floor(n_files^u) - 1
+    imports = F.transform(
+        F.sequence(F.lit(1), F.lit(imports_per_file)),
+        lambda k: F.concat(
+            F.lit("import pkg"),
+            (
+                F.floor(
+                    F.pow(
+                        F.lit(float(n_files)),
+                        F.pmod(F.xxhash64(F.col("id"), k), F.lit(1_000_000))
+                        / F.lit(1_000_000.0),
+                    )
+                ).cast("long")
+                - 1
+            )
+            % n_pkgs,
+            F.lit(".mod"),
+            F.floor(
+                (
+                    F.floor(
+                        F.pow(
+                            F.lit(float(n_files)),
+                            F.pmod(F.xxhash64(F.col("id"), k), F.lit(1_000_000))
+                            / F.lit(1_000_000.0),
+                        )
+                    ).cast("long")
+                    - 1
+                )
+                / n_pkgs
+            ).cast("long"),
+        ),
+    )
+    return df.select(
+        F.concat(
+            F.lit("org"), (F.col("id") % n_repos) % 7, F.lit("/repo"), F.col("id") % n_repos
+        ).alias("repo"),
+        F.concat(
+            F.lit("src/pkg"),
+            F.col("id") % n_pkgs,
+            F.lit("/mod"),
+            F.floor(F.col("id") / n_pkgs).cast("long"),
+            F.lit(".py"),
+        ).alias("path"),
+        F.substring(F.sha2(F.concat(F.lit("c:"), F.col("id")), 256), 1, 40).alias(
+            "commit"
+        ),
+        F.element_at(
+            F.array(F.lit("py"), F.lit("java"), F.lit("scala"), F.lit("go")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.concat_ws("\n", imports),
+            F.lit("\ndef f_"),
+            F.col("id"),
+            F.lit("():\n    return "),
+            F.col("id"),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+
+
 # ----------------------------------------------------------------- F4
 def odd_even_graph(n: int = 500, seed: int = 0) -> pd.DataFrame:
     """Odd/even CC oracle graph (port of the reference's only automated

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PCGRAPH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # ParallelGC: the iterative engine allocates hundreds of MB of
+        # short-lived buffers per superstep (cache scan -> Arrow -> py);
+        # G1 showed 4-26s round variance from humongous-allocation storms,
+        # ParallelGC holds it steady.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # local-mode robustness: long stop-the-world pauses during block
+        # builds must not trip the executor heartbeat (driver==executor)
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -21,8 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cores: int, edges_path: str) -> None:
+def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
     from pcgraph.algos.pagerank import pagerank
+    from pcgraph.partition import load_blocks
     from pcgraph.session import get_spark
 
     spark = get_spark(
@@ -30,8 +31,15 @@ def child(cores: int, edges_path: str) -> None:
     )
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()
+    # blocks pre-built once by the parent (fixed partition count across
+    # both runs, BASELINE.md protocol); children only run the loop
+    blocks_path = edges_path + f".blocks{partitions}"
+    blocks = load_blocks(spark, blocks_path) if os.path.exists(
+        os.path.join(blocks_path, "blocks_meta.json")
+    ) else None
     _, hist = pagerank(
-        spark, edges, tol=1e-6, max_iter=30, num_partitions=max(cores, 16)
+        spark, edges, tol=1e-6, max_iter=max_iter, num_partitions=partitions,
+        blocks=blocks,
     )
     superstep_sec = sum(h["round_sec"] for h in hist)
     print(
@@ -51,9 +59,14 @@ def child(cores: int, edges_path: str) -> None:
     spark.stop()
 
 
-def run_child(cores: int, edges_path: str) -> dict:
+def run_child(cores: int, edges_path: str, max_iter: int, partitions: int) -> dict:
     out = subprocess.run(
-        [sys.executable, __file__, "--child", str(cores), "--edges", edges_path],
+        [
+            sys.executable, __file__, "--child", str(cores),
+            "--edges", edges_path,
+            "--max-iter", str(max_iter),
+            "--partitions", str(partitions),
+        ],
         capture_output=True,
         text=True,
         check=True,
@@ -72,10 +85,12 @@ def main() -> None:
     ap.add_argument("--n-files", type=int, default=100_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--max-iter", type=int, default=12)
+    ap.add_argument("--partitions", type=int, default=128)
     args = ap.parse_args()
 
     if args.child is not None:
-        child(args.child, args.edges)
+        child(args.child, args.edges, args.max_iter, args.partitions)
         return
 
     if not os.path.exists(args.edges):
@@ -93,8 +108,30 @@ def main() -> None:
         ).parquet(args.edges)
         spark.stop()
 
-    low = run_child(args.low, args.edges)
-    high = run_child(args.high, args.edges)
+    blocks_path = args.edges + f".blocks{args.partitions}"
+    if not os.path.exists(os.path.join(blocks_path, "blocks_meta.json")):
+        from pcgraph.partition import build_blocks, save_blocks
+        from pcgraph.session import get_spark
+
+        # G1 for the one-off build: handles the large-heap churn of the
+        # full edge shuffle better than ParallelGC (whose full GCs tripped
+        # the heartbeat at ~300M edges)
+        spark = get_spark(
+            app_name="scaling-blocks",
+            cores=32,
+            shuffle_partitions=64,
+            extra_conf={
+                "spark.driver.extraJavaOptions": "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"
+            },
+        )
+        blocks = build_blocks(
+            spark, spark.read.parquet(args.edges), args.partitions
+        )
+        save_blocks(blocks, blocks_path)
+        spark.stop()
+
+    low = run_child(args.low, args.edges, args.max_iter, args.partitions)
+    high = run_child(args.high, args.edges, args.max_iter, args.partitions)
     factor = args.high / args.low
     efficiency = high["throughput_edges_per_sec"] / (
         factor * low["throughput_edges_per_sec"]
