@@ -239,6 +239,59 @@ def q_triangles_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(edges)
 
 
+def _nation_weighted_edges(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "weight",
+            ((F.col("src") * 7 + F.col("dst") * 3) % 5 + 1).cast("double"),
+        )
+    )
+
+
+def q_sssp_nations(spark, sf_dir):
+    from pcgraph.algos.sssp import sssp
+
+    result, _ = sssp(
+        spark, _nation_weighted_edges(spark, sf_dir), source=0, num_partitions=4
+    )
+    return result.filter(F.col("distance") != float("inf")).select(
+        "id", "distance"
+    )
+
+
+_SSSP_ITERS = 6
+
+
+def _sssp_sql() -> str:
+    body = """WITH en AS (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+e AS (SELECT a AS src, b AS dst, ((a*7 + b*3) % 5 + 1)::DOUBLE AS w FROM en),
+d0 AS (SELECT CAST(0 AS BIGINT) AS id, 0.0 AS dist)"""
+    for k in range(1, _SSSP_ITERS + 1):
+        body += f""",
+d{k} AS (SELECT id, min(dist) AS dist FROM (
+           SELECT id, dist FROM d{k-1}
+           UNION ALL
+           SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM d{k-1} d JOIN e ON e.src = d.id) GROUP BY id)"""
+    body += f"\nSELECT id, dist AS distance FROM d{_SSSP_ITERS}"
+    return body
+
+
 def q_dedup_exact(spark, sf_dir):
     from pcgraph.datapipe.dedup import exact_duplicates
 
@@ -363,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "top_degree": q_top_degree,
         "cc_nations": q_cc_nations,
+        "sssp_nations": q_sssp_nations,
         "pagerank5": q_pagerank,
         "label_prop2": q_label_prop,
         "triangles": q_triangles,
@@ -436,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, min(comp) AS component FROM reach GROUP BY id
         """,
+        "sssp_nations": _sssp_sql(),
         "pagerank5": _pagerank_sql(),
         "label_prop2": _labelprop_sql(),
         "triangles": f"""
