@@ -269,7 +269,11 @@ def q_sssp_nations(spark, sf_dir):
     )
 
 
-_SSSP_ITERS = 6
+# Provable Bellman-Ford bound for the 25-node nation graph: any shortest
+# path has <= n_vertices - 1 = 24 hops, so the unrolled oracle is exact
+# regardless of data scale (an iteration-count-dependent oracle would
+# silently become the wrong side of the comparison on a deeper graph).
+_SSSP_ITERS = 24
 
 
 def _sssp_sql() -> str:

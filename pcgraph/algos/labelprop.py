@@ -49,14 +49,20 @@ def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     nodes, indptr, edst, _ = unpack_block(bpdf)
     esrc = block_edge_source_index(indptr)
 
-    label = np.full(len(nodes), -1, dtype=np.int64)
+    # Labels ARE vertex ids, and production ids are xxhash64-derived —
+    # negative about half the time (derive.py:36-41).  A "-1 means no
+    # label" sentinel silently drops every negative-id contribution, so
+    # presence is tracked in an explicit boolean mask instead.
+    label = np.zeros(len(nodes), dtype=np.int64)
+    present = np.zeros(len(nodes), dtype=bool)
     fids = fpdf["id"].to_numpy(dtype=np.int64)
     fvals = fpdf["value"].to_numpy(dtype=np.int64)
     pos = np.searchsorted(nodes, fids)
     ok = (pos < len(nodes)) & (nodes[np.clip(pos, 0, len(nodes) - 1)] == fids)
     label[pos[ok]] = fvals[ok]
+    present[pos[ok]] = True
 
-    active = label[esrc] >= 0
+    active = present[esrc]
     if not active.any():
         return empty
     pairs = pd.DataFrame({"dst": nodes[edst[active]], "label": label[esrc[active]]})
@@ -75,14 +81,21 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume_from: str | None = None,
+    blocks: GraphBlocks | None = None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Run synchronous LPA; returns (DataFrame[id, label], metrics)."""
+    """Run synchronous LPA; returns (DataFrame[id, label], metrics).
+
+    ``blocks`` (pre-built CSR blocks of the SAME edge orientation this
+    call would build — i.e. raw edges when ``directed=True``) skips the
+    build's full edge shuffle.
+    """
     e = edges.select("src", "dst")
     if not directed:
         e = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    blocks = build_blocks(spark, e, num_partitions, salt_threshold=salt_threshold)
+    if blocks is None:
+        blocks = build_blocks(spark, e, num_partitions, salt_threshold=salt_threshold)
     engine = PCEngine(
         spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
     )

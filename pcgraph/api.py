@@ -172,6 +172,10 @@ class PCGraph:
     def pagerank(self, **kw) -> tuple[DataFrame, list[dict]]:
         from .algos.pagerank import pagerank
 
+        # PageRank runs on the raw directed edges — exactly what
+        # self.blocks holds — so the cached CSR build is reused (the
+        # build's full edge shuffle is amortized across algorithms).
+        kw.setdefault("blocks", self._blocks)
         return pagerank(
             self.spark, self.edges, vertices=self.vertices,
             num_partitions=self.num_partitions,
@@ -181,6 +185,10 @@ class PCGraph:
     def label_propagation(self, **kw) -> tuple[DataFrame, list[dict]]:
         from .algos.labelprop import label_propagation
 
+        # Cached blocks hold the raw directed edges, valid only for the
+        # directed LPA variant (the undirected one symmetrizes first).
+        if kw.get("directed"):
+            kw.setdefault("blocks", self._blocks)
         return label_propagation(
             self.spark, self.edges, vertices=self.vertices,
             num_partitions=self.num_partitions,

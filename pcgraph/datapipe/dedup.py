@@ -36,10 +36,12 @@ def word_shingles(
     """Distinct k-word shingles per document: DataFrame[id, shingle].
 
     Pure SQL: split + slide via transform/sequence (JVM-side); documents
-    shorter than k words produce no shingles.
+    shorter than k words shingle as their full text (mirrors
+    ``textstats.fingerprint`` — dropping them entirely would silently
+    bypass near-dup detection for short docs).
     """
     toks = F.split(F.col(text_col), " ")
-    shingles = F.when(F.size(toks) < k, F.array()).otherwise(
+    shingles = F.when(F.size(toks) < k, F.array(F.col(text_col))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -66,14 +68,30 @@ def minhash_signatures(
     return shingles.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 2, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any band key.
 
-    Bands = consecutive signature pairs concatenated; a band-key
+    Bands = consecutive signature groups concatenated; a band-key
     self-join per band, unioned + distinct.  Each band join shuffles on
-    the band hash — bounded fan-out as long as true duplicate clusters
-    are bounded (the standard LSH trade-off)."""
+    the band hash.  A single giant bucket (boilerplate / empty docs at
+    corpus scale) makes the self-join m² — ``max_bucket`` caps it:
+    buckets larger than the cap are dropped from candidate generation
+    (their members are still caught by exact dedup, which is how a
+    100 TB pipeline handles degenerate clusters), and the number of
+    dropped buckets is reported via one tiny aggregate, not silently.
+    """
     sig_cols = [c for c in signatures.columns if c.startswith("sig")]
+    if not 1 <= n_bands <= len(sig_cols):
+        raise ValueError(
+            f"n_bands={n_bands} must be within [1, {len(sig_cols)}] signature columns"
+        )
+    if len(sig_cols) % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide the {len(sig_cols)} signature columns "
+            "(trailing signatures would be silently dropped)"
+        )
     per_band = len(sig_cols) // n_bands
     pairs = None
     for b in range(n_bands):
@@ -81,6 +99,19 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 2) -> DataFrame:
         banded = signatures.select(
             "id", F.concat_ws("|", *[F.col(c) for c in cols]).alias("band")
         )
+        if max_bucket is not None:
+            oversized = (
+                banded.groupBy("band")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") > max_bucket)
+            )
+            n_over = oversized.count()
+            if n_over:
+                print(
+                    f"lsh_candidate_pairs: band {b}: dropping {n_over} bucket(s) "
+                    f"larger than max_bucket={max_bucket}"
+                )
+            banded = banded.join(oversized.select("band"), "band", "left_anti")
         left = banded.select(F.col("id").alias("id1"), "band")
         right = banded.select(F.col("id").alias("id2"), "band")
         p = left.join(right, "band").filter(F.col("id1") < F.col("id2")).select(

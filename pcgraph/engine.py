@@ -163,11 +163,15 @@ class PCEngine:
                 int(r["partition_id"]): int(r["count"]) for r in pp
             }
         parent = step - self.checkpoint_every
+        # Paths are stored RELATIVE to checkpoint_dir so a checkpoint
+        # directory can be relocated (or live on a shared filesystem
+        # mounted at a different path) and still resume.
+        rel = os.path.basename(rdir.rstrip("/"))
         meta.update(
             committed=True,
             parent_round=parent if parent > 0 else None,
-            state_path=os.path.join(rdir, "state.parquet"),
-            frontier_path=os.path.join(rdir, "frontier.parquet"),
+            state_path=os.path.join(rel, "state.parquet"),
+            frontier_path=os.path.join(rel, "frontier.parquet"),
         )
         tmp = os.path.join(rdir, META_NAME + ".tmp")
         with open(tmp, "w") as fh:
@@ -195,6 +199,10 @@ class PCEngine:
         meta = self.latest_round(checkpoint_dir)
         if meta is None:
             return None
-        state = self.spark.read.parquet(meta["state_path"])
-        frontier = self.spark.read.parquet(meta["frontier_path"])
+
+        def _abspath(p: str) -> str:  # absolute paths = pre-relative-meta runs
+            return p if os.path.isabs(p) else os.path.join(checkpoint_dir, p)
+
+        state = self.spark.read.parquet(_abspath(meta["state_path"]))
+        frontier = self.spark.read.parquet(_abspath(meta["frontier_path"]))
         return state, frontier, meta

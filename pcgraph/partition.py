@@ -89,6 +89,8 @@ class GraphBlocks:
 
     def unpersist(self) -> None:
         self.blocks.unpersist()
+        if self.mirrors is not None:
+            self.mirrors.unpersist()
 
 
 def _pid_expr(src_col, num_partitions: int, salt_col=None):

@@ -55,7 +55,10 @@ def test_shingles_and_minhash(docs):
         sh.groupBy("id").count().toPandas().set_index("id")["count"].to_dict()
     )
     assert per_doc[0] == 7  # 9 tokens -> 7 distinct 3-shingles
-    assert 5 not in per_doc  # too short -> no shingles
+    # shorter than k -> the whole text IS the shingle (short docs must
+    # still participate in near-dup detection; matches the oracle SQL)
+    assert per_doc[5] == 1
+    assert sh.filter("id = 5").collect()[0]["shingle"] == "a b"
     sigs = minhash_signatures(sh)
     pdf = sigs.toPandas().set_index("id")
     # identical docs -> identical signatures

@@ -71,6 +71,28 @@ def test_lp_matches_oracle(spark):
     assert got == oracle
 
 
+def test_lp_negative_xxhash_ids(spark):
+    """Production ids are xxhash64-derived — negative ~half the time
+    (derive.py:36-41).  A '-1 = no label' sentinel silently drops every
+    negative-id contribution; this pins the presence-mask fix."""
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"src": rng.integers(0, 80, size=200), "dst": rng.integers(0, 80, size=200)}
+    )
+    pdf = pdf[pdf.src != pdf.dst].drop_duplicates().reset_index(drop=True)
+    # remap 0..79 -> signed-64-bit-looking ids, ~half negative, order-preserving
+    # (order preservation keeps the min-tie-break oracle comparable)
+    remap = {v: (v - 40) * 0x1234_5678_9ABC + 7 for v in range(80)}
+    mapped = pdf.assign(src=pdf.src.map(remap), dst=pdf.dst.map(remap))
+    assert (mapped.src < 0).any() and (mapped.dst < 0).any()
+    result, _ = label_propagation(
+        spark, fixtures.to_spark_edges(spark, mapped), num_partitions=8, max_iter=10
+    )
+    oracle = _lp_oracle(mapped, max_iter=10)
+    got = {r["id"]: r["label"] for r in result.collect()}
+    assert got == oracle
+
+
 def test_triangles_tiny():
     # validated through spark fixture below; tiny graph has exactly 1 triangle (1-2-3)
     pass
