@@ -99,14 +99,40 @@ pr{k} AS (SELECT v.id,
     return body
 
 
-def _labelprop_sql() -> str:
-    body = f"""WITH {_COOC_SQL},
+# Injective remap putting ~half the vertex ids below zero — the
+# production id space is xxhash64-derived (negative ~half the time), and
+# LP labels ARE ids, so the gate must cover negative labels (the round-1
+# '-1 sentinel' bug was invisible to all-positive oracles).
+_HASH_MUL = 1000003
+
+
+def _hashid_spark(col):
+    return F.when(col % 2 == 0, -(col * _HASH_MUL)).otherwise(col * _HASH_MUL)
+
+
+def _hashid_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} % 2 = 0 THEN -({x} * {_HASH_MUL}) "
+        f"ELSE {x} * {_HASH_MUL} END"
+    )
+
+
+def _labelprop_sql(hashed: bool = False) -> str:
+    if hashed:
+        body = f"""WITH {_COOC_SQL},
+eh AS (SELECT {_hashid_sql('src')} AS src, {_hashid_sql('dst')} AS dst FROM e),
+verts AS (SELECT {_hashid_sql('s_suppkey')} AS id FROM supplier),
+lab0 AS (SELECT id, id AS label FROM verts)"""
+        edge_rel = "eh"
+    else:
+        body = f"""WITH {_COOC_SQL},
 verts AS (SELECT s_suppkey AS id FROM supplier),
 lab0 AS (SELECT id, id AS label FROM verts)"""
+        edge_rel = "e"
     for k in range(1, LP_ITERS + 1):
         body += f""",
 cnt{k} AS (SELECT e.dst AS id, l.label, count(*) AS c
-           FROM lab{k-1} l JOIN e ON e.src = l.id GROUP BY 1, 2),
+           FROM lab{k-1} l JOIN {edge_rel} e ON e.src = l.id GROUP BY 1, 2),
 pick{k} AS (SELECT id, label FROM (
               SELECT id, label,
                      row_number() OVER (PARTITION BY id
@@ -225,6 +251,31 @@ def q_label_prop(spark, sf_dir):
     return result
 
 
+def q_label_prop_hashed(spark, sf_dir):
+    """LPA on the same co-occurrence graph with ids remapped so ~half
+    are NEGATIVE — the production (xxhash64-derived) id regime; guards
+    the presence-mask fix in lp_kernel (labels are ids, so a positive-
+    only oracle cannot see a dropped-negative-label bug)."""
+    from pcgraph.algos.labelprop import label_propagation
+
+    edges = _supplier_cooccurrence_edges(spark, sf_dir).select(
+        _hashid_spark(F.col("src")).alias("src"),
+        _hashid_spark(F.col("dst")).alias("dst"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        _hashid_spark(F.col("s_suppkey")).alias("id")
+    )
+    result, _ = label_propagation(
+        spark,
+        edges,
+        vertices=supp,
+        max_iter=LP_ITERS,
+        num_partitions=8,
+        directed=True,
+    )
+    return result
+
+
 def q_triangles(spark, sf_dir):
     from pcgraph.algos.triangles import triangles_df
 
@@ -277,17 +328,23 @@ _SSSP_ITERS = 24
 
 
 def _sssp_sql() -> str:
-    body = """WITH en AS (SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+    # MATERIALIZED: DuckDB inlines plain CTEs, so 24 unrolled rounds
+    # would re-open the 4-table join's parquet files 24x (EMFILE).
+    body = """WITH en AS MATERIALIZED (
+           SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
            FROM lineitem l
            JOIN orders o ON l.l_orderkey = o.o_orderkey
            JOIN customer c ON o.o_custkey = c.c_custkey
            JOIN supplier s ON l.l_suppkey = s.s_suppkey
            WHERE c.c_nationkey <> s.s_nationkey),
-e AS (SELECT a AS src, b AS dst, ((a*7 + b*3) % 5 + 1)::DOUBLE AS w FROM en),
+e AS MATERIALIZED (
+     SELECT a AS src, b AS dst, ((a*7 + b*3) % 5 + 1)::DOUBLE AS w FROM en),
 d0 AS (SELECT CAST(0 AS BIGINT) AS id, 0.0 AS dist)"""
+    # every round MATERIALIZED: d{k} references d{k-1} twice, so plain
+    # (inlined) CTEs would blow the plan up 2^24-fold
     for k in range(1, _SSSP_ITERS + 1):
         body += f""",
-d{k} AS (SELECT id, min(dist) AS dist FROM (
+d{k} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
            SELECT id, dist FROM d{k-1}
            UNION ALL
            SELECT e.dst AS id, d.dist + e.w AS dist
@@ -326,9 +383,12 @@ def q_near_duplicates(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from pcgraph.datapipe.dedup import simhash64
+    # sha256-parity formulation: bit-identical in any ANSI engine, so
+    # the row gets a real value-hash oracle (the xxhash64 fast path in
+    # dedup.simhash64 has no DuckDB counterpart).
+    from pcgraph.datapipe.dedup import simhash_portable
 
-    return simhash64(_read(spark, sf_dir, "documents"))
+    return simhash_portable(_read(spark, sf_dir, "documents"))
 
 
 def q_token_stats(spark, sf_dir):
@@ -365,12 +425,81 @@ def q_knn_bruteforce(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
+    """ANN through the ENGINE-TRAINED quantizer: deterministic k-means
+    (init = lowest-id vectors, fixed iterations, 6-decimal rounding)
+    + 2-probe bucket join; the oracle unrolls the identical Lloyd's
+    iterations in SQL."""
+    from pcgraph.datapipe.similarity import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivf(
+        emb, queries, k=3, n_centroids=_IVF_CENTROIDS, iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_knn_bucketed(spark, sf_dir):
+    """Bucketed variant for corpora with a PRECOMPUTED cluster id (the
+    upstream-assignment path; the trained path is q_knn_ivf)."""
     from pcgraph.datapipe.similarity import cosine_topk_bucketed
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk_bucketed(emb, queries, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_IVF_CENTROIDS = 8
+_IVF_ITERS = 2
+_IVF_PROBE = 2
+
+
+def _knn_ivf_sql() -> str:
+    """The same deterministic Lloyd's k-means + 2-probe IVF search,
+    unrolled as DuckDB CTEs (one assign/update pair per iteration)."""
+    body = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, v AS cvec
+       FROM emb ORDER BY vec_id LIMIT {_IVF_CENTROIDS})"""
+    for r in range(1, _IVF_ITERS + 1):
+        body += f""",
+a{r} AS (SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c.bucket,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                                       c.bucket ASC) AS rn
+    FROM emb e CROSS JOIN c{r-1} c) WHERE rn = 1),
+m{r} AS (SELECT a.bucket, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+         FROM a{r} a JOIN emb e USING (vec_id)),
+g{r} AS (SELECT bucket, pos, round(avg(val), 6) AS val FROM m{r} GROUP BY 1, 2),
+n{r} AS (SELECT bucket, list(val ORDER BY pos) AS cvec FROM g{r} GROUP BY bucket),
+c{r} AS (SELECT c.bucket, COALESCE(n.cvec, c.cvec) AS cvec
+         FROM c{r-1} c LEFT JOIN n{r} n USING (bucket))"""
+    body += f""",
+corp AS (SELECT vec_id AS neighbor_id, bucket, v AS cv FROM (
+    SELECT e.vec_id, e.v, c.bucket,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                                       c.bucket ASC) AS rn
+    FROM emb e CROSS JOIN c{_IVF_ITERS} c) WHERE rn = 1),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id < 5),
+qp AS (SELECT vec_id AS query_id, v AS qv, bucket FROM (
+    SELECT q.vec_id, q.v, c.bucket,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.v, c.cvec), 6) DESC,
+                                       c.bucket ASC) AS rn
+    FROM qs q CROSS JOIN c{_IVF_ITERS} c) WHERE rn <= {_IVF_PROBE}),
+cand AS (SELECT DISTINCT q.query_id, p.neighbor_id,
+                list_cosine_similarity(q.qv, p.cv) AS cos
+         FROM qp q JOIN corp p USING (bucket)
+         WHERE p.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM cand) WHERE rank <= 3"""
+    return body
 
 
 def q_events_hourly(spark, sf_dir):
@@ -423,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_nations": q_sssp_nations,
         "pagerank5": q_pagerank,
         "label_prop2": q_label_prop,
+        "label_prop_hashed": q_label_prop_hashed,
         "triangles": q_triangles,
         "triangles_per_vertex": q_triangles_per_vertex,
         "dedup_exact": q_dedup_exact,
@@ -435,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_bucketed": q_knn_bucketed,
         "events_hourly": q_events_hourly,
         "tpch_pricing": q_tpch_pricing,
     }
@@ -497,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_nations": _sssp_sql(),
         "pagerank5": _pagerank_sql(),
         "label_prop2": _labelprop_sql(),
+        "label_prop_hashed": _labelprop_sql(hashed=True),
         "triangles": f"""
             WITH {_COOC_SQL},
             ce AS (SELECT DISTINCT least(src, dst) AS src,
@@ -608,7 +740,8 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
                 FROM scored) WHERE rank <= 3
         """,
-        "knn_ivf": """
+        "knn_ivf": _knn_ivf_sql(),
+        "knn_bucketed": """
             WITH q AS (SELECT vec_id, embedding, label FROM embeddings
                        WHERE vec_id < 5),
             scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -635,6 +768,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem GROUP BY 1, 2
         """,
-        # "simhash" intentionally omitted: xxhash64 is not available in
-        # DuckDB, so the driver records the weaker rows-only check.
+        "simhash": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            th AS (SELECT doc_id, sha256(t) AS h FROM tok),
+            bits AS (SELECT doc_id, j,
+                            ((strpos('0123456789abcdef',
+                                     substring(h, j + 1, 1)) - 1) % 2) * 2 - 1 AS v
+                     FROM th, (SELECT unnest(generate_series(0, 63)) AS j) AS js),
+            votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY 1, 2)
+            SELECT doc_id AS id,
+                   string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY j) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
     }

@@ -10,7 +10,9 @@ Queries:
   * label_prop      — 5 rounds synchronous LPA
   * triangles       — exact triangle count (canonical 3-way join)
   * minhash_dedup   — MinHash+LSH near-dup candidates on documents
+  * simhash         — portable 64-bit SimHash (no-explode fold) on documents
   * knn             — brute-force cosine top-3 for 20 queries on embeddings
+  * knn_ivf         — trained IVF (deterministic k-means + 2-probe ANN)
 
 The graph input is the import graph derived from a deterministic
 synthetic source-code table (seed 42, size scaled to the sf dir) — the
@@ -44,8 +46,8 @@ def main() -> None:
     from pcgraph.algos.labelprop import label_propagation
     from pcgraph.algos.pagerank import pagerank
     from pcgraph.algos.triangles import triangles_df
-    from pcgraph.datapipe.dedup import near_duplicates
-    from pcgraph.datapipe.similarity import cosine_topk_bruteforce
+    from pcgraph.datapipe.dedup import near_duplicates, simhash_portable
+    from pcgraph.datapipe.similarity import cosine_topk_bruteforce, cosine_topk_ivf
     from pcgraph.session import get_spark
 
     spark = get_spark(app_name="pcgraph-bench", cores=cpus, shuffle_partitions=cpus)
@@ -111,10 +113,21 @@ def main() -> None:
     near_duplicates(docs, threshold=0.2).count()
     timings["minhash_dedup"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
+    simhash_portable(docs).count()
+    timings["simhash"] = round(time.monotonic() - t0, 3)
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.monotonic()
     cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 20), k=3).count()
     timings["knn"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, n_centroids=8, iters=2,
+        n_probe=2,
+    ).count()
+    timings["knn_ivf"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

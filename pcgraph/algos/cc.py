@@ -145,5 +145,9 @@ def connected_components(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="connected_components",
+        # CC's frontier collapses after ~3 rounds; skip untouched blocks
+        # in the sparse tail instead of shipping the full topology
+        # through Arrow each round.
+        prefilter_blocks=True,
     )
     return state.select("id", F.col("value").alias("component")), history

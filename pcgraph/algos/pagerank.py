@@ -77,6 +77,7 @@ def pagerank(
     checkpoint_every: int = 1,
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
+    post_superstep=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank to L1 convergence; returns (DataFrame[id, pagerank],
     per-round metrics incl. l1 delta and dangling mass)."""
@@ -170,5 +171,6 @@ def pagerank(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="pagerank",
+        post_superstep=post_superstep,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

@@ -122,5 +122,9 @@ def sssp(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="sssp",
+        # SSSP's frontier is a wave: most of the ~diameter rounds touch
+        # a few partitions, so skipping inactive blocks is the
+        # difference between O(frontier) and O(|E|) per round.
+        prefilter_blocks=True,
     )
     return state.select("id", F.col("value").alias("distance")), history

@@ -91,6 +91,11 @@ class PCGraph:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         emit_on: str = "change",
+        sum_tol: float | None = None,
+        strict: bool = False,
+        prefilter_blocks: bool = False,
+        pre_superstep: Callable | None = None,
+        post_superstep: Callable | None = None,
     ) -> tuple[DataFrame, list[dict]]:
         """Run a custom iteration; returns (DataFrame[id, value], metrics).
 
@@ -100,6 +105,26 @@ class PCGraph:
         ``value' = fold(value, fold(messages))`` with emit-on-strict-
         change semantics (VertexUpdateFunction.java:85-93); pass
         ``update`` for anything richer.
+
+        ``kernel`` may declare a 4th parameter to receive the 1-based
+        superstep number — ``kernel(key, frontier_pdf, block_pdf,
+        step)`` — for step-dependent logic (reference:
+        getSuperstepNumber, VertexUpdateFunction.java:77-79);
+        ``pre_superstep(step)`` / ``post_superstep(step, metrics)`` are
+        the driver-side lifecycle hooks (PartitionProcessFunction.java:
+        45-63).
+
+        ``fold="sum"`` semantics: a vertex that receives any message
+        stays active, so on cyclic graphs the iteration ACCUMULATES for
+        exactly ``max_iter`` rounds and does not converge on its own —
+        that is the meaningful default for sum-folds (e.g. counting
+        walks).  Pass ``sum_tol`` to instead deactivate vertices whose
+        incoming sum has magnitude <= sum_tol (convergence for decaying
+        quantities like rank mass).
+
+        ``strict=True`` raises if a kernel message targets an id
+        outside the vertex set (reference: "Target vertex does not
+        exist!", PartitionCentricIteration.java:216-227).
         """
         state = self.vertex_set().select(
             "id",
@@ -127,11 +152,14 @@ class PCGraph:
                     if fold != "sum"
                     else F.col("value") + F.coalesce(F.col("msg"), F.lit(0))
                 )
-                changed = (
-                    F.coalesce(better, F.lit(False))
-                    if fold != "sum"
-                    else F.col("msg").isNotNull()
-                )
+                if fold != "sum":
+                    changed = F.coalesce(better, F.lit(False))
+                elif sum_tol is not None:
+                    changed = F.coalesce(
+                        F.abs(F.col("msg")) > F.lit(sum_tol), F.lit(False)
+                    )
+                else:
+                    changed = F.col("msg").isNotNull()
                 return joined.select(
                     "id", new_value.alias("value"), changed.alias("changed")
                 )
@@ -156,6 +184,10 @@ class PCGraph:
             frontier_fn=frontier_fn,
             max_iter=max_iter,
             algorithm="custom",
+            strict=strict,
+            prefilter_blocks=prefilter_blocks,
+            pre_superstep=pre_superstep,
+            post_superstep=post_superstep,
         )
         return state.select("id", "value"), history
 

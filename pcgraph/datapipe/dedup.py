@@ -167,36 +167,81 @@ def near_duplicates(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def _simhash_votes(tok_hash_array, bits_of_hash):
+    """Fold an array of per-token hashes into 64 bit-votes, entirely
+    inside ONE row (aggregate + zip_with): no explode, no row
+    amplification — the naive (doc, bit) explode is a 64x shuffle blowup
+    at corpus scale.  ``bits_of_hash(h) -> array<int>[64]`` maps one
+    token hash to its +/-1 votes."""
+    return F.aggregate(
+        tok_hash_array,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits_of_hash(h), lambda a, b: a + b),
+    )
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over word tokens, fully JVM-side.
+    """64-bit SimHash over word tokens, fully JVM-side (fast path).
 
-    Per doc: for each of 64 bit positions, sum +/-1 over token hashes'
-    bits; bit j of the simhash = (sum_j >= 0).  Expressed as explode +
-    groupBy-sum over (doc, bit) — no Python.  Hamming-close simhashes =
-    near-duplicate candidates."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    Per doc: for each of 64 bit positions, sum +/-1 over token xxhash64
+    bits; bit j of the simhash = (sum_j >= 0).  One aggregate expression
+    per document — no explode, no per-row Python.  Hamming-close
+    simhashes = near-duplicate candidates."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bits(h):
+        return F.array(
+            *[
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                for j in range(64)
+            ]
+        )
+
+    votes = _simhash_votes(hashes, bits)
+    # 2^j as literals (j=63 is the sign bit: -2^63 in two's complement,
+    # matching shiftleft(1L, 63) wrap semantics)
+    powers = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
     )
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
-    bits = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"),
-    ).select(
-        "id",
-        "bit",
-        F.expr(
-            "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1L) = 1L THEN 1 ELSE -1 END"
-        ).alias("v"),
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda s, p: F.when(s >= 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    votes = bits.groupBy("id", "bit").agg(F.sum("v").alias("s"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s >= 0 THEN shiftleft(1L, CAST(bit AS INT)) ELSE 0L END"
-            )
-        ).alias("simhash")
+    return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash with engine-portable hashing: bit j of a token =
+    parity of hex digit j of sha256(token), result emitted as a 64-char
+    '0'/'1' string (no 2^63 signed overflow, reproducible verbatim in
+    DuckDB/any ANSI engine — the correctness-oracle variant of
+    ``simhash64``).  Same no-explode aggregate formulation."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.sha2(t, 256))
+
+    def bits(h):
+        return F.array(
+            *[
+                (F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int") % 2) * 2 - 1
+                for j in range(64)
+            ]
+        )
+
+    votes = _simhash_votes(hashes, bits)
+    sim = F.array_join(
+        F.transform(votes, lambda s: F.when(s >= 0, "1").otherwise("0")), ""
     )
+    return docs.select(F.col(id_col).alias("id"), sim.alias("simhash"))

@@ -1,16 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exact baseline (cross join pruned to the
-query set — fine when |queries| << |corpus|); the scale path buckets the
-corpus (IVF-style coarse quantization — here by a precomputed cluster
-id, e.g. the ``label`` column or any assignment produced upstream) so
-each query only scans its probe buckets.  All math is built-in
-``zip_with``/``aggregate`` expressions — JVM-side, codegen'd, no UDF.
+query set — fine when |queries| << |corpus|); the scale path is a REAL
+IVF index: deterministic Lloyd's k-means trains the coarse quantizer
+(``train_ivf_centroids``), every corpus vector lands in its nearest
+centroid's bucket, and queries multi-probe their ``n_probe`` nearest
+buckets — an equi-join on the bucket id instead of a cross join, i.e.
+O(|Q|·|C|·n_probe/k) scanned pairs.  ``cosine_topk_bucketed`` remains
+for corpora with a precomputed cluster id.  All vector math is built-in
+``zip_with``/``aggregate`` expressions — JVM-side, codegen'd, no UDF;
+the trained centroids are a tiny k x d model broadcast to executors.
+
+Determinism (the correctness gate runs the same algorithm in DuckDB):
+centroid init = the k lowest-id vectors; assignment = max cosine
+rounded to 6 decimals, ties to the smallest bucket; centroid updates
+rounded to 6 decimals; empty buckets keep their previous centroid.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -97,6 +106,145 @@ def cosine_topk_bucketed(
                 "cos"
             ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        schema="bucket int, cvec array<double>",
+    )
+
+
+def _nearest_buckets(
+    df: DataFrame, cent: DataFrame, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest centroid buckets to each vector.
+
+    Cosine rounded to 6 decimals + bucket-asc tie-break keeps the
+    assignment identical across engines (floating-point sum order).
+    The centroid table is k rows — always broadcast.
+    """
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        df[id_col],
+        df[vec_col],
+        "bucket",
+        F.round(
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+            6,
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .drop("ccos", "rn")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over cosine similarity.
+
+    Init = the ``n_centroids`` lowest-id vectors (no RNG — resumable and
+    engine-portable); ``iters`` fixed assign/update rounds; new centroid
+    = element-wise mean of its members rounded to 6 decimals (empty
+    buckets keep the old centroid).  The per-iteration driver collect is
+    the k x d model (a few KB) — the data-sized work (assignment + mean)
+    stays distributed: one broadcast cross join with k rows and one
+    (bucket, dim) aggregation per iteration.
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    init = emb.orderBy("_id").limit(n_centroids).collect()
+    centroids = [list(r["_v"]) for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        cent = _centroid_df(spark, centroids)
+        assigned = _nearest_buckets(emb, cent, 1, "_id", "_v")
+        means = (
+            assigned.select("bucket", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .collect()
+        )
+        new = {b: list(c) for b, c in enumerate(centroids)}  # empty keeps old
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["bucket"], [0.0] * dim)[r["pos"]] = r["val"]
+        new.update(acc)
+        centroids = [new[b] for b in range(n_centroids)]
+    return centroids
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN cosine top-k through the trained IVF index:
+    DataFrame[query_id, neighbor_id, rank].
+
+    Corpus vectors sit in exactly one bucket; each query probes its
+    ``n_probe`` nearest buckets, so the candidate join is an equi-join
+    on ``bucket`` — the 100 TB shape (shuffle on a bounded key) —
+    followed by exact cosine ranking of the candidates.  Pass
+    ``centroids`` to reuse a trained quantizer.
+    """
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cent = _centroid_df(spark, centroids)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c = _nearest_buckets(c, cent, 1, "neighbor_id", "cv")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q = _nearest_buckets(q, cent, n_probe, "query_id", "qv")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cos"),
+        )
+        .distinct()  # a candidate reachable via several probes counts once
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

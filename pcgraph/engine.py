@@ -6,28 +6,49 @@ PartitionCentricIteration.java:89-112 — iterateDelta + closeWith), so
 the loop lives in the driver.  One global superstep =
 
     frontier --route(partition_id, mirrors)--> cogroup with CSR blocks
+      [blocks pre-filtered to the frontier's ACTIVE partitions, so a
+      sparse tail round pays O(frontier), not O(|E|) Arrow transfer]
       --applyInPandas(kernel: many LOCAL supersteps, vectorized numpy)-->
       messages [dst, ...] --groupBy(dst).agg(fold) [Catalyst gives the
       map-side combiner the reference lacks]--> state merge -->
       changed-filter --> next frontier
 
 Convergence = empty frontier (reference semantics) or an
-algorithm-supplied metric (PageRank L1 < tol).  Lineage is truncated
-every round (``localCheckpoint`` — plans would otherwise grow linearly
-with supersteps); every ``checkpoint_every`` rounds state+frontier go to
-Parquet with a ``_meta.json`` carrying superstep number, metrics,
-per-partition frontier counts and a parent pointer, so runs resume
-mid-iteration (north rule: resumable with per-partition lineage).
+algorithm-supplied metric (PageRank L1 < tol).
+
+Lineage/partitioning strategy (the two scale killers, measured):
+  * The FRONTIER is eagerly ``localCheckpoint``-ed every round.  The
+    frontier is the only place ``state`` is referenced twice per round
+    (messages + merge); checkpointing it makes the state plan chain
+    LINEAR instead of exponential (plain per-round persist blew up
+    analysis time by superstep ~8 in round-1 measurements).
+  * The STATE is ``persist()``-ed, NOT localCheckpoint-ed, between
+    truncations: a checkpointed DataFrame comes back as an opaque
+    ``Scan ExistingRDD`` with unknown partitioning, forcing a full
+    re-shuffle + re-sort of all N vertices on the state side of the
+    merge join every superstep.  A persisted join output keeps its
+    hash(id) partitioning AND sort order, so steady-state rounds show
+    NO Exchange and NO Sort on the state side — the only shuffle per
+    superstep is the (combined) message fold.  Every
+    ``truncate_every`` rounds the chain is cut with one eager
+    localCheckpoint (bounded analysis cost, bounded recompute window).
+
+Every ``checkpoint_every`` rounds state+frontier go to Parquet with a
+``_meta.json`` carrying superstep number, metrics, per-partition
+frontier counts and a parent pointer, so runs resume mid-iteration
+(north rule: resumable with per-partition lineage).
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .partition import GraphBlocks
 
@@ -38,15 +59,39 @@ def _round_dir(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"round={step:05d}")
 
 
+def _bind_step(kernel: Callable, step: int) -> Callable:
+    """Close over the superstep number with the exact 3-arg signature
+    cogroup.applyInPandas validates."""
+
+    def kernel_fn(key, fpdf, bpdf):
+        return kernel(key, fpdf, bpdf, step)
+
+    return kernel_fn
+
+
+def _kernel_wants_step(kernel: Callable) -> bool:
+    """A kernel may declare ``(key, frontier_pdf, block_pdf, step)`` to
+    receive the superstep number (reference parity:
+    VertexUpdateFunction.getSuperstepNumber, VertexUpdateFunction.java:
+    77-79 — exposed to the partition kernel here because that is where
+    step-dependent logic lives in the partition-centric model)."""
+    try:
+        return len(inspect.signature(kernel).parameters) >= 4
+    except (TypeError, ValueError):
+        return False
+
+
 class PCEngine:
     """Generic partition-centric iteration runner.
 
     The algorithm supplies:
-      * ``kernel(key, frontier_pdf, block_pdf) -> messages_pdf`` — the
-        per-partition vectorized local computation (analog of the
+      * ``kernel(key, frontier_pdf, block_pdf[, step]) -> messages_pdf``
+        — the per-partition vectorized local computation (analog of the
         reference's PartitionProcessFunction.processPartition,
-        PartitionProcessFunction.java:78-89);
-      * ``msg_schema`` — DDL schema of the messages DataFrame;
+        PartitionProcessFunction.java:78-89); the optional 4th
+        parameter receives the 1-based superstep number;
+      * ``msg_schema`` — DDL schema of the messages DataFrame (first
+        column must be ``dst``);
       * ``update(state, msgs, step) -> new_state`` — global fold +
         vertex update (analog of VertexUpdateFunction.updateVertex,
         VertexUpdateFunction.java:42-56); lazy, engine materializes;
@@ -55,7 +100,11 @@ class PCEngine:
         VertexUpdateFunction.java:85-93);
       * optional ``metrics_fn(new_state, step) -> dict`` — one action
         over the materialized state (e.g. PageRank L1 delta); may set
-        ``active`` and ``converged``.
+        ``active`` and ``converged``;
+      * optional ``pre_superstep(step)`` / ``post_superstep(step,
+        metrics)`` lifecycle hooks (reference parity:
+        PartitionProcessFunction.java:45-63, PartitionCentricIteration.
+        java:142-153) — driver-side, once per global superstep.
     """
 
     def __init__(
@@ -64,6 +113,7 @@ class PCEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         partition_metrics: bool | None = None,
+        truncate_every: int = 8,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -71,6 +121,7 @@ class PCEngine:
         if partition_metrics is None:
             partition_metrics = checkpoint_dir is not None
         self.partition_metrics = partition_metrics
+        self.truncate_every = max(1, truncate_every)
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -87,25 +138,88 @@ class PCEngine:
         metrics_fn: Callable[[DataFrame, int], dict] | None = None,
         start_step: int = 0,
         algorithm: str = "custom",
+        prefilter_blocks: bool = False,
+        strict: bool = False,
+        pre_superstep: Callable[[int], None] | None = None,
+        post_superstep: Callable[[int, dict], None] | None = None,
     ) -> tuple[DataFrame, list[dict]]:
+        """Iterate to convergence.
+
+        ``prefilter_blocks=True`` restricts each round's cogroup to the
+        partitions the frontier actually touches (one tiny distinct-
+        collect of partition ids).  Essential for delta algorithms with
+        long sparse tails (CC after ~3 rounds, SSSP for ~diameter
+        rounds): without it every round ships the ENTIRE topology
+        through Arrow just to return empty frames.  Leave False for
+        full-frontier algorithms (PageRank, sync LPA) where all
+        partitions are active anyway.
+
+        ``strict=True`` raises (reference parity: "Target vertex does
+        not exist!", PartitionCentricIteration.java:216-227) if any
+        kernel message targets a vertex id absent from the state.
+        Costs one extra anti-join action per round (messages are
+        persisted for the round to avoid re-running kernels) — a debug
+        mode, zero-cost when off.
+        """
         state = state.localCheckpoint(eager=True)
+        last_trunc: DataFrame | None = state  # current lineage root
         if frontier is None:
             frontier = frontier_fn(state)
+        wants_step = _kernel_wants_step(kernel)
         step = start_step
+        rounds_since_truncate = 0
+        prev_cached: list[DataFrame] = []  # state/frontier persists of older rounds
+        epoch_cached: list[DataFrame] = []  # everything since the last truncation
         while step < max_iter:
             step += 1
             round_t0 = time.monotonic()
+            if pre_superstep is not None:
+                pre_superstep(step)
+            # The frontier is the node referenced twice per round; an
+            # eager localCheckpoint here is cheap (frontier is small)
+            # and keeps the state lineage linear.
+            frontier = frontier.localCheckpoint(eager=True)
+            epoch_cached.append(frontier)
             routed = blocks.route(frontier)
+
+            blocks_df = blocks.blocks
+            active_partitions = None
+            if prefilter_blocks:
+                pids = [
+                    r[0]
+                    for r in routed.select("partition_id").distinct().collect()
+                ]
+                active_partitions = len(pids)
+                blocks_df = blocks_df.filter(F.col("partition_id").isin(pids))
+
+            kernel_fn = _bind_step(kernel, step) if wants_step else kernel
             msgs = (
                 routed.groupby("partition_id")
-                .cogroup(blocks.blocks.groupby("partition_id"))
-                .applyInPandas(kernel, schema=msg_schema)
+                .cogroup(blocks_df.groupby("partition_id"))
+                .applyInPandas(kernel_fn, schema=msg_schema)
             )
+            if strict:
+                msgs = msgs.persist()
+                unknown = (
+                    msgs.select("dst")
+                    .join(
+                        state.select(F.col("id").alias("dst")), on="dst",
+                        how="left_anti",
+                    )
+                    .count()
+                )
+                if unknown:
+                    raise ValueError(
+                        f"Target vertex does not exist! ({unknown} message(s) "
+                        "target ids absent from the vertex set)"
+                    )
             new_state = update(state, msgs, step)
 
             do_ckpt = (
                 self.checkpoint_dir is not None and step % self.checkpoint_every == 0
             )
+            rounds_since_truncate += 1
+            truncated = False
             if do_ckpt:
                 rdir = _round_dir(self.checkpoint_dir, step)
                 new_state.write.mode("overwrite").parquet(
@@ -114,14 +228,21 @@ class PCEngine:
                 new_state = self.spark.read.parquet(
                     os.path.join(rdir, "state.parquet")
                 )
-            else:
-                # Eager localCheckpoint: one materializing job per round,
-                # truncating lineage immediately.  Plain persist() lets the
-                # logical plan grow exponentially (state appears twice per
-                # round: state + frontier), blowing up analysis time by
-                # superstep ~8; lazy (eager=False) measured ~6x slower
-                # rounds in local mode.
+                truncated = True
+            elif rounds_since_truncate >= self.truncate_every:
+                # Cut the (linear) plan chain: one eager materializing
+                # job.  Costs one state re-shuffle on the NEXT round's
+                # merge (checkpointed scans lose partitioning) — paid
+                # once per truncate_every rounds instead of every round.
                 new_state = new_state.localCheckpoint(eager=True)
+                truncated = True
+            else:
+                # Persist keeps hash(id) partitioning + sort order from
+                # the merge join, so next round's merge needs no state-
+                # side Exchange; materialized by the metrics action (or
+                # the frontier checkpoint) below.
+                new_state = new_state.persist()
+                epoch_cached.append(new_state)
 
             new_frontier = frontier_fn(new_state)
             metrics = metrics_fn(new_state, step) if metrics_fn else {}
@@ -132,16 +253,45 @@ class PCEngine:
                 algorithm=algorithm,
                 round_sec=round(time.monotonic() - round_t0, 4),
             )
+            if active_partitions is not None:
+                metrics["active_partitions"] = active_partitions
 
             if do_ckpt:
                 self._commit_round(blocks, step, new_frontier, metrics)
-            # release the previous round's localCheckpoint blocks
-            try:
-                state.unpersist()
-            except Exception:  # reading from parquet after a checkpoint round
-                pass
+            if strict:
+                msgs.unpersist()
+            if truncated:
+                rounds_since_truncate = 0
+                # new_state no longer depends on anything cached before
+                # it: release the whole previous epoch + the old
+                # lineage root (its localCheckpoint blocks).
+                drop = prev_cached + epoch_cached
+                if last_trunc is not None:
+                    drop.append(last_trunc)
+                for df in drop:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                prev_cached, epoch_cached = [], []
+                last_trunc = new_state
+            elif len(prev_cached) > 4:
+                # Bound memory within an epoch: drop the oldest cached
+                # rounds.  Safe — MEMORY_AND_DISK never silently evicts,
+                # and a recompute (executor loss) walks back to the last
+                # truncation, which is exactly the durability contract.
+                for df in prev_cached[:-4]:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                prev_cached = prev_cached[-4:]
+            if not truncated:
+                prev_cached, epoch_cached = prev_cached + epoch_cached, []
             state, frontier = new_state, new_frontier
             self.history.append(metrics)
+            if post_superstep is not None:
+                post_superstep(step, metrics)
             if metrics.get("converged") or metrics["active"] == 0:
                 break
         return state, self.history

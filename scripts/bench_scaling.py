@@ -23,11 +23,13 @@ sys.path.insert(0, REPO)
 
 def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
     from pcgraph.algos.pagerank import pagerank
+    from pcgraph.metrics import StageMetricsSampler
     from pcgraph.partition import load_blocks
     from pcgraph.session import get_spark
 
     spark = get_spark(
-        app_name=f"pcgraph-scaling-{cores}", cores=cores, shuffle_partitions=cores
+        app_name=f"pcgraph-scaling-{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.ui.enabled": "true"},  # REST API for the breakdown
     )
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()
@@ -37,11 +39,32 @@ def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
     blocks = load_blocks(spark, blocks_path) if os.path.exists(
         os.path.join(blocks_path, "blocks_meta.json")
     ) else None
+
+    # Per-round CPU-vs-I/O breakdown (BENCH/BASELINE.md round-2 plan):
+    # executorCpuTime is the scalable fraction; runTime - cpu - gc is
+    # blocked time (shuffle fetch wait, disk, Arrow socket waits).
+    sampler = StageMetricsSampler(spark)
+    rounds_io: list[dict] = []
+
+    def post(step: int, metrics: dict) -> None:
+        d = sampler.delta()
+        d["superstep"] = step
+        d["round_sec"] = metrics.get("round_sec")
+        rounds_io.append(d)
+
     _, hist = pagerank(
         spark, edges, tol=1e-6, max_iter=max_iter, num_partitions=partitions,
-        blocks=blocks,
+        blocks=blocks, post_superstep=post,
     )
     superstep_sec = sum(h["round_sec"] for h in hist)
+    cpu_ms = sum(r["executorCpuTime"] for r in rounds_io)
+    run_ms = sum(r["executorRunTime"] for r in rounds_io)
+    gc_ms = sum(r["jvmGcTime"] for r in rounds_io)
+    # Round 1 pays one-time costs (block-cache population, vertex-set
+    # init counts) at BOTH parallelism levels; steady-state throughput
+    # excludes it.  Both numbers are reported.
+    steady = [h["round_sec"] for h in hist[1:]]
+    steady_sec = sum(steady) if steady else superstep_sec
     print(
         "SCALING_RESULT "
         + json.dumps(
@@ -53,6 +76,28 @@ def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
                 "throughput_edges_per_sec": round(
                     n_edges * len(hist) / superstep_sec, 1
                 ),
+                "steady_superstep_sec": round(steady_sec, 3),
+                "steady_throughput_edges_per_sec": round(
+                    n_edges * len(steady) / steady_sec, 1
+                )
+                if steady
+                else None,
+                "executor_cpu_sec": round(cpu_ms / 1000, 1),
+                "executor_run_sec": round(run_ms / 1000, 1),
+                "executor_gc_sec": round(gc_ms / 1000, 1),
+                "cpu_fraction_of_runtime": round(cpu_ms / run_ms, 3)
+                if run_ms
+                else None,
+                "shuffle_read_gb": round(
+                    sum(r["shuffleReadBytes"] for r in rounds_io) / 2**30, 2
+                ),
+                "shuffle_write_gb": round(
+                    sum(r["shuffleWriteBytes"] for r in rounds_io) / 2**30, 2
+                ),
+                "disk_spill_gb": round(
+                    sum(r["diskBytesSpilled"] for r in rounds_io) / 2**30, 2
+                ),
+                "rounds": rounds_io,
             }
         )
     )
@@ -136,15 +181,29 @@ def main() -> None:
     efficiency = high["throughput_edges_per_sec"] / (
         factor * low["throughput_edges_per_sec"]
     )
+    steady_eff = None
+    if low.get("steady_throughput_edges_per_sec") and high.get(
+        "steady_throughput_edges_per_sec"
+    ):
+        steady_eff = round(
+            high["steady_throughput_edges_per_sec"]
+            / (factor * low["steady_throughput_edges_per_sec"]),
+            3,
+        )
     report = {
         "low": low,
         "high": high,
         "parallelism_factor": factor,
         "scaling_efficiency": round(efficiency, 3),
+        "steady_scaling_efficiency": steady_eff,
     }
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_{args.low}v{args.high}.json"), "w"
+    ) as fh:
+        json.dump(report, fh, indent=1)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — measured scaling + throughput

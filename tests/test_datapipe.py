@@ -10,6 +10,7 @@ from pcgraph.datapipe.dedup import (
     minhash_signatures,
     near_duplicates,
     simhash64,
+    simhash_portable,
     word_shingles,
 )
 from pcgraph.datapipe.multimodal import (
@@ -21,6 +22,8 @@ from pcgraph.datapipe.multimodal import (
 from pcgraph.datapipe.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_bucketed,
+    cosine_topk_ivf,
+    train_ivf_centroids,
 )
 from pcgraph.datapipe.textstats import (
     fingerprint,
@@ -203,3 +206,106 @@ def test_frame_sample_plan(media):
     out = frame_sample_plan(media, every_n=10).toPandas()
     assert set(out.media_id) == {4}
     assert out.frame_index.tolist() == list(range(0, 95, 10))
+
+
+def test_simhash_portable_properties(docs):
+    """sha256-parity simhash: 64-char bitstring, dup-equal, near-dups
+    Hamming-closer than unrelated docs (the DuckDB-portable variant —
+    exact cross-engine equality is enforced by the correctness gate)."""
+    pdf = simhash_portable(docs).toPandas().set_index("id")
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in pdf["simhash"])
+    assert pdf.loc[0, "simhash"] == pdf.loc[2, "simhash"]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    near = ham(pdf.loc[0, "simhash"], pdf.loc[1, "simhash"])  # 1-word diff
+    far = ham(pdf.loc[0, "simhash"], pdf.loc[3, "simhash"])  # unrelated
+    assert near < far
+
+
+def _clustered_vectors(n_per=40, dim=8, k=3, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)) * 5
+    rows = []
+    vid = 0
+    for c in range(k):
+        for _ in range(n_per):
+            rows.append((vid, (centers[c] + rng.normal(size=dim)).tolist()))
+            vid += 1
+    return rows
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark):
+    """The trained IVF index (deterministic k-means + 2-probe) must
+    recover most true neighbors: recall@3 >= 0.8 on well-clustered data
+    (exact equality is not expected — ANN by design)."""
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 17 == 0)
+
+    exact = cosine_topk_bruteforce(df, queries, k=3).toPandas()
+    approx = cosine_topk_ivf(
+        df, queries, k=3, n_centroids=6, iters=2, n_probe=2
+    ).toPandas()
+    truth = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    got = approx.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"recall@3 = {recall:.2f}"
+
+
+def test_ivf_centroids_deterministic_and_reusable(spark):
+    """Training twice gives identical centroids (no RNG anywhere), and a
+    pre-trained quantizer can be passed back in."""
+    rows = _clustered_vectors(n_per=20)
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    c1 = train_ivf_centroids(df, n_centroids=4, iters=2)
+    c2 = train_ivf_centroids(df, n_centroids=4, iters=2)
+    assert c1 == c2
+    queries = df.filter(F.col("vec_id") < 2)
+    a = cosine_topk_ivf(df, queries, k=3, centroids=c1).toPandas()
+    b = cosine_topk_ivf(df, queries, k=3, n_centroids=4, iters=2).toPandas()
+    key = lambda d: sorted(map(tuple, d[["query_id", "neighbor_id", "rank"]].values))
+    assert key(a) == key(b)
+
+
+def test_lsh_bucket_cap_on_degenerate_corpus(spark):
+    """1,000 identical documents: every band bucket holds all 1,000 docs
+    (the m^2 blowup shape at corpus scale).  With max_bucket set, LSH
+    completes WITHOUT emitting the ~500k candidate pairs, and the
+    duplicates are still caught by exact dedup — the documented
+    degenerate-cluster path."""
+    n = 1000
+    rows = [(i, "exactly the same boilerplate text in every document") for i in range(n)]
+    degenerate = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sh = word_shingles(degenerate)
+    sigs = minhash_signatures(sh)
+
+    capped = lsh_candidate_pairs(sigs, max_bucket=100)
+    assert capped.count() == 0  # all buckets oversized -> dropped, no m^2
+
+    exact = exact_duplicates(degenerate).collect()
+    assert len(exact) == 1 and exact[0]["n_copies"] == n
+
+    # and the cap does not disturb a healthy corpus
+    healthy = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "umber sienna ochre teal")],
+        schema="doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(healthy)), max_bucket=100
+    )
+    assert {(r["id1"], r["id2"]) for r in pairs.collect()} == {(0, 1)}
+
+
+def test_lsh_n_bands_validation(spark):
+    sigs = spark.createDataFrame(
+        [(1, "a", "b", "c", "d")], schema="id long, sig0 string, sig1 string, sig2 string, sig3 string"
+    )
+    with pytest.raises(ValueError, match="must be within"):
+        lsh_candidate_pairs(sigs, n_bands=5)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, n_bands=3)
