@@ -59,6 +59,19 @@ def _round_dir(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"round={step:05d}")
 
 
+def _bind_store(kernel3: Callable, store_path: str) -> Callable:
+    """Adapt a 3-arg kernel to block-store mode: the grouped-map only
+    delivers the frontier slice; the block side is read worker-side."""
+
+    def fn(key, fpdf):
+        from .partition import read_store_block
+
+        bpdf = read_store_block(store_path, int(key[0]))
+        return kernel3(key, fpdf, bpdf)
+
+    return fn
+
+
 def _bind_step(kernel: Callable, step: int) -> Callable:
     """Close over the superstep number with the exact 3-arg signature
     cogroup.applyInPandas validates."""
@@ -182,22 +195,34 @@ class PCEngine:
             epoch_cached.append(frontier)
             routed = blocks.route(frontier)
 
-            blocks_df = blocks.blocks
-            active_partitions = None
-            if prefilter_blocks:
-                pids = [
-                    r[0]
-                    for r in routed.select("partition_id").distinct().collect()
-                ]
-                active_partitions = len(pids)
-                blocks_df = blocks_df.filter(F.col("partition_id").isin(pids))
-
             kernel_fn = _bind_step(kernel, step) if wants_step else kernel
-            msgs = (
-                routed.groupby("partition_id")
-                .cogroup(blocks_df.groupby("partition_id"))
-                .applyInPandas(kernel_fn, schema=msg_schema)
-            )
+            active_partitions = None
+            if blocks.store_path is not None:
+                # Block-store mode: the grouped-map only materializes
+                # groups the frontier touches, and each kernel reads its
+                # own partition's CSR rows worker-side — no JVM cache
+                # scan, no Arrow transfer of the topology, and inactive
+                # partitions are free (prefiltering is structural).
+                msgs = routed.groupby("partition_id").applyInPandas(
+                    _bind_store(kernel_fn, blocks.store_path),
+                    schema=msg_schema,
+                )
+            else:
+                blocks_df = blocks.blocks
+                if prefilter_blocks:
+                    pids = [
+                        r[0]
+                        for r in routed.select("partition_id").distinct().collect()
+                    ]
+                    active_partitions = len(pids)
+                    blocks_df = blocks_df.filter(
+                        F.col("partition_id").isin(pids)
+                    )
+                msgs = (
+                    routed.groupby("partition_id")
+                    .cogroup(blocks_df.groupby("partition_id"))
+                    .applyInPandas(kernel_fn, schema=msg_schema)
+                )
             if strict:
                 msgs = msgs.persist()
                 unknown = (

@@ -41,11 +41,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PCGRAPH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # ParallelGC: the iterative engine allocates hundreds of MB of
-        # short-lived buffers per superstep (cache scan -> Arrow -> py);
-        # G1 showed 4-26s round variance from humongous-allocation storms,
-        # ParallelGC holds it steady.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # GC choice is workload-dependent (see docs/PERF.md): ParallelGC
+        # held round variance down in round 1 (when multi-MB block cells
+        # churned the heap), but the round-2 state-persist design churns
+        # ~5-10 GB of short-lived cache/Arrow buffers per superstep and
+        # ParallelGC full collections showed 100-900s stalls at 24g.
+        # Override per-run with PCGRAPH_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("PCGRAPH_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # local-mode robustness: long stop-the-world pauses during block
         # builds must not trip the executor heartbeat (driver==executor)
         .config("spark.network.timeout", "600s")

@@ -21,10 +21,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
+def child(
+    cores: int, edges_path: str, max_iter: int, partitions: int,
+    use_store: bool = False,
+) -> None:
     from pcgraph.algos.pagerank import pagerank
     from pcgraph.metrics import StageMetricsSampler
-    from pcgraph.partition import load_blocks
+    from pcgraph.partition import load_blocks, open_block_store
     from pcgraph.session import get_spark
 
     spark = get_spark(
@@ -35,10 +38,13 @@ def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
     n_edges = edges.count()
     # blocks pre-built once by the parent (fixed partition count across
     # both runs, BASELINE.md protocol); children only run the loop
-    blocks_path = edges_path + f".blocks{partitions}"
-    blocks = load_blocks(spark, blocks_path) if os.path.exists(
-        os.path.join(blocks_path, "blocks_meta.json")
-    ) else None
+    if use_store:
+        blocks = open_block_store(spark, edges_path + f".store{partitions}")
+    else:
+        blocks_path = edges_path + f".blocks{partitions}"
+        blocks = load_blocks(spark, blocks_path) if os.path.exists(
+            os.path.join(blocks_path, "blocks_meta.json")
+        ) else None
 
     # Per-round CPU-vs-I/O breakdown (BENCH/BASELINE.md round-2 plan):
     # executorCpuTime is the scalable fraction; runTime - cpu - gc is
@@ -104,14 +110,18 @@ def child(cores: int, edges_path: str, max_iter: int, partitions: int) -> None:
     spark.stop()
 
 
-def run_child(cores: int, edges_path: str, max_iter: int, partitions: int) -> dict:
+def run_child(
+    cores: int, edges_path: str, max_iter: int, partitions: int,
+    use_store: bool = False,
+) -> dict:
     out = subprocess.run(
         [
             sys.executable, __file__, "--child", str(cores),
             "--edges", edges_path,
             "--max-iter", str(max_iter),
             "--partitions", str(partitions),
-        ],
+        ]
+        + (["--store"] if use_store else []),
         capture_output=True,
         text=True,
         check=True,
@@ -132,10 +142,14 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--max-iter", type=int, default=12)
     ap.add_argument("--partitions", type=int, default=128)
+    ap.add_argument("--store", action="store_true",
+                    help="block-store mode: kernels read per-partition "
+                         "parquet directly (no JVM block cache)")
     args = ap.parse_args()
 
     if args.child is not None:
-        child(args.child, args.edges, args.max_iter, args.partitions)
+        child(args.child, args.edges, args.max_iter, args.partitions,
+              use_store=args.store)
         return
 
     if not os.path.exists(args.edges):
@@ -175,8 +189,22 @@ def main() -> None:
         save_blocks(blocks, blocks_path)
         spark.stop()
 
-    low = run_child(args.low, args.edges, args.max_iter, args.partitions)
-    high = run_child(args.high, args.edges, args.max_iter, args.partitions)
+    if args.store:
+        store_path = args.edges + f".store{args.partitions}"
+        if not os.path.exists(os.path.join(store_path, "store_meta.json")):
+            # one-time: materialize the store from the cached-block sidecar
+            from pcgraph.partition import load_blocks, save_block_store
+            from pcgraph.session import get_spark
+
+            spark = get_spark(app_name="store-prep", cores=32, shuffle_partitions=64)
+            save_block_store(
+                load_blocks(spark, args.edges + f".blocks{args.partitions}"),
+                store_path,
+            )
+            spark.stop()
+
+    low = run_child(args.low, args.edges, args.max_iter, args.partitions, args.store)
+    high = run_child(args.high, args.edges, args.max_iter, args.partitions, args.store)
     factor = args.high / args.low
     efficiency = high["throughput_edges_per_sec"] / (
         factor * low["throughput_edges_per_sec"]
