@@ -23,16 +23,23 @@ sys.path.insert(0, REPO)
 
 def child(
     cores: int, edges_path: str, max_iter: int, partitions: int,
-    use_store: bool = False,
+    use_store: bool = False, no_aqe: bool = False,
 ) -> None:
     from pcgraph.algos.pagerank import pagerank
     from pcgraph.metrics import StageMetricsSampler
     from pcgraph.partition import load_blocks, open_block_store
     from pcgraph.session import get_spark
 
+    conf = {"spark.ui.enabled": "true"}  # REST API for the breakdown
+    if no_aqe:
+        # AQE re-plans 3-4 query stages on the driver per superstep — a
+        # serial per-round cost that hits the 4N side 4x harder.  The
+        # loop's shuffle partitioning is already fixed (= cores) and
+        # skew is handled by salting, so AQE buys nothing here.
+        conf["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name=f"pcgraph-scaling-{cores}", cores=cores, shuffle_partitions=cores,
-        extra_conf={"spark.ui.enabled": "true"},  # REST API for the breakdown
+        extra_conf=conf,
     )
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()
@@ -145,11 +152,13 @@ def main() -> None:
     ap.add_argument("--store", action="store_true",
                     help="block-store mode: kernels read per-partition "
                          "parquet directly (no JVM block cache)")
+    ap.add_argument("--no-aqe", action="store_true",
+                    help="disable AQE for the iteration session")
     args = ap.parse_args()
 
     if args.child is not None:
         child(args.child, args.edges, args.max_iter, args.partitions,
-              use_store=args.store)
+              use_store=args.store, no_aqe=args.no_aqe)
         return
 
     if not os.path.exists(args.edges):
