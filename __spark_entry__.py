@@ -502,6 +502,53 @@ SELECT query_id, neighbor_id, rank FROM (
     return body
 
 
+def q_dedup_embedding(spark, sf_dir):
+    # embedding-cosine leg of the dedup family (exact all-pairs is the
+    # correctness baseline; pcgraph.datapipe.similarity.
+    # cosine_near_duplicates(n_centroids=...) is the IVF-blocked scale path)
+    from pcgraph.datapipe.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        _read(spark, sf_dir, "embeddings"), threshold=0.38
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from pcgraph.datapipe.textstats import language_id
+
+    lid = language_id(_read(spark, sf_dir, "documents"))
+    return lid.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in lid.columns if c.startswith("score_")],
+        "predicted_lang",
+    )
+
+
+def _lang_id_sql() -> str:
+    # Generated from the same LANG_MARKERS dict the Spark op uses —
+    # single source of truth for the marker lists and the
+    # max-score/alphabetical tie-break.
+    from pcgraph.datapipe.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n        ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    values = ", ".join(f"('{lang}', score_{lang})" for lang in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+        {score_cols}
+      FROM documents)
+    SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+           (SELECT lang FROM (VALUES {values}) AS t(lang, s)
+            ORDER BY s DESC, lang ASC LIMIT 1) AS predicted_lang
+    FROM scored"""
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy(
@@ -566,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_bucketed": q_knn_bucketed,
+        "dedup_embedding": q_dedup_embedding,
+        "lang_id": q_lang_id,
         "events_hourly": q_events_hourly,
         "tpch_pricing": q_tpch_pricing,
     }
@@ -741,6 +790,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) WHERE rank <= 3
         """,
         "knn_ivf": _knn_ivf_sql(),
+        "dedup_embedding": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.38
+        """,
+        "lang_id": _lang_id_sql(),
         "knn_bucketed": """
             WITH q AS (SELECT vec_id, embedding, label FROM embeddings
                        WHERE vec_id < 5),

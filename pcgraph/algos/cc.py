@@ -142,6 +142,11 @@ def connected_components(
         msg_schema="dst long, msg long",
         update=update,
         frontier_fn=lambda s: s.filter("changed").select("id", "value"),
+        # active-count rides the round's materializing job (observe)
+        metrics_exprs=[
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("changed")
+        ],
+        metrics_post=lambda obs, step: {"active": int(obs["changed"] or 0)},
         max_iter=max_iter,
         start_step=start_step,
         algorithm="connected_components",

@@ -133,8 +133,14 @@ def label_propagation(
             ).alias("changed"),
         )
 
-    def metrics_fn(new_state, step):
-        changed = new_state.filter("changed").count()
+    # changed-count rides the round's materializing job (observe) —
+    # no separate count action over the state.
+    metrics_exprs = [
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("changed")
+    ]
+
+    def metrics_post(observed, step):
+        changed = int(observed["changed"] or 0)
         return {"active": changed, "changed": changed}
 
     # Synchronous LPA: every vertex re-evaluates each round, so the
@@ -147,7 +153,8 @@ def label_propagation(
         msg_schema="dst long, label long, cnt long",
         update=update,
         frontier_fn=lambda s: s.select("id", "value"),
-        metrics_fn=metrics_fn,
+        metrics_exprs=metrics_exprs,
+        metrics_post=metrics_post,
         max_iter=max_iter,
         start_step=start_step,
         algorithm="label_propagation",

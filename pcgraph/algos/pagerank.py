@@ -136,22 +136,26 @@ def pagerank(
             "id", new_pr.alias("pr"), F.col("pr").alias("prev_pr"), "out_deg"
         )
 
-    def metrics_fn(new_state, step):
-        row = new_state.agg(
-            F.sum(F.abs(F.col("pr") - F.col("prev_pr"))).alias("l1"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("pr")).otherwise(0.0)).alias(
-                "dangling"
-            ),
-            F.sum("pr").alias("total_mass"),
-        ).collect()[0]
-        loop_state["dangling"] = float(row["dangling"] or 0.0)
+    # Convergence metrics ride the round's single materializing job via
+    # DataFrame.observe — no separate aggregation pass over the state.
+    metrics_exprs = [
+        F.sum(F.abs(F.col("pr") - F.col("prev_pr"))).alias("l1"),
+        F.sum(F.when(F.col("out_deg") == 0, F.col("pr")).otherwise(0.0)).alias(
+            "dangling"
+        ),
+        F.sum("pr").alias("total_mass"),
+    ]
+
+    def metrics_post(observed, step):
+        loop_state["dangling"] = float(observed["dangling"] or 0.0)
+        l1 = float(observed["l1"])
         return {
-            "l1": float(row["l1"]),
+            "l1": l1,
             "dangling": loop_state["dangling"],
-            "total_mass": float(row["total_mass"]),
+            "total_mass": float(observed["total_mass"]),
             "n_vertices": n_vertices,
             "active": n_vertices,
-            "converged": float(row["l1"]) < tol,
+            "converged": l1 < tol,
         }
 
     def frontier_fn(state_df):
@@ -167,7 +171,8 @@ def pagerank(
         msg_schema="dst long, msg double",
         update=update,
         frontier_fn=frontier_fn,
-        metrics_fn=metrics_fn,
+        metrics_exprs=metrics_exprs,
+        metrics_post=metrics_post,
         max_iter=max_iter,
         start_step=start_step,
         algorithm="pagerank",

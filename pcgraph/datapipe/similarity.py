@@ -254,3 +254,57 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: DataFrame[a_id, b_id] with
+    ``a_id < b_id`` and ``cosine(a, b) >= threshold``.
+
+    The embedding leg of the dedup family (exact sha256 / MinHash-LSH /
+    SimHash live in ``dedup.py``).  Default is the exact all-pairs
+    comparison — the correctness baseline, O(n^2) scanned pairs, fine up
+    to ~10^5 vectors.  At corpus scale pass ``n_centroids``: vectors are
+    blocked by their trained IVF bucket (``train_ivf_centroids``'s
+    deterministic k-means) and only same-bucket pairs are compared —
+    O(n^2 / k) scanned pairs, the standard ANN-blocking trade
+    (cross-bucket near-dups are missed; near-identical vectors land in
+    the same bucket except exactly on a centroid boundary).
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    w = embeddings.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    if n_centroids:
+        spark = embeddings.sparkSession
+        cent = _centroid_df(
+            spark,
+            train_ivf_centroids(
+                embeddings, n_centroids=n_centroids, iters=iters,
+                id_col=id_col, vec_col=vec_col,
+            ),
+        )
+        v = _nearest_buckets(v, cent, 1, "a_id", "av")
+        w = _nearest_buckets(w, cent, 1, "b_id", "bv")
+        pairs = v.join(w, "bucket")
+    else:
+        pairs = v.crossJoin(w)
+    return (
+        pairs.filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            _dot(F.col("av"), F.col("bv"))
+            / (_norm(F.col("av")) * _norm(F.col("bv")))
+            >= F.lit(float(threshold))
+        )
+        .select("a_id", "b_id")
+    )

@@ -47,7 +47,7 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .partition import GraphBlocks
@@ -127,6 +127,7 @@ class PCEngine:
         checkpoint_every: int = 1,
         partition_metrics: bool | None = None,
         truncate_every: int = 8,
+        aqe_in_loop: bool = False,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
@@ -135,6 +136,13 @@ class PCEngine:
             partition_metrics = checkpoint_dir is not None
         self.partition_metrics = partition_metrics
         self.truncate_every = max(1, truncate_every)
+        # AQE re-plans 3-4 query stages on the driver every superstep — a
+        # serial per-round cost that hits higher parallelism levels
+        # proportionally harder (Amdahl), and it buys nothing here: the
+        # loop's shuffle partitioning is fixed by construction and skew
+        # is handled by explicit salting (AQE cannot split applyInPandas
+        # groups anyway, SURVEY.md §4).  Off inside run(), restored after.
+        self.aqe_in_loop = aqe_in_loop
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -149,6 +157,8 @@ class PCEngine:
         frontier_fn: Callable[[DataFrame], DataFrame],
         max_iter: int,
         metrics_fn: Callable[[DataFrame, int], dict] | None = None,
+        metrics_exprs: list | None = None,
+        metrics_post: Callable[[dict, int], dict] | None = None,
         start_step: int = 0,
         algorithm: str = "custom",
         prefilter_blocks: bool = False,
@@ -173,26 +183,70 @@ class PCEngine:
         Costs one extra anti-join action per round (messages are
         persisted for the round to avoid re-running kernels) — a debug
         mode, zero-cost when off.
+
+        ``metrics_exprs``/``metrics_post``: aggregate Columns evaluated
+        over the new state INSIDE the round's single materializing job
+        via ``DataFrame.observe`` (so convergence metrics cost zero
+        extra actions/passes — vs ``metrics_fn``, which runs its own
+        aggregation action).  ``metrics_post(observed_dict, step)``
+        turns the raw observed values into the metrics dict (and may
+        set ``active``/``converged``).
         """
+        conf = self.spark.conf
+        aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+        if not self.aqe_in_loop:
+            conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_loop(
+                blocks, state, frontier, kernel, msg_schema, update,
+                frontier_fn, max_iter, metrics_fn, metrics_exprs,
+                metrics_post, start_step, algorithm, prefilter_blocks,
+                strict, pre_superstep, post_superstep,
+            )
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    def _run_loop(
+        self,
+        blocks: GraphBlocks,
+        state: DataFrame,
+        frontier: DataFrame | None,
+        kernel: Callable,
+        msg_schema: str,
+        update: Callable[[DataFrame, DataFrame, int], DataFrame],
+        frontier_fn: Callable[[DataFrame], DataFrame],
+        max_iter: int,
+        metrics_fn: Callable[[DataFrame, int], dict] | None,
+        metrics_exprs: list | None,
+        metrics_post: Callable[[dict, int], dict] | None,
+        start_step: int,
+        algorithm: str,
+        prefilter_blocks: bool,
+        strict: bool,
+        pre_superstep: Callable[[int], None] | None,
+        post_superstep: Callable[[int, dict], None] | None,
+    ) -> tuple[DataFrame, list[dict]]:
         state = state.localCheckpoint(eager=True)
         last_trunc: DataFrame | None = state  # current lineage root
         if frontier is None:
             frontier = frontier_fn(state)
+        # The frontier is the node referenced twice per round (kernel
+        # input + being derived from the state both paths of the merge);
+        # an eager localCheckpoint keeps the state lineage linear.  It
+        # happens at the END of each round (the round's one materializing
+        # action, which also populates the state cache and fires the
+        # observation metrics); the initial frontier is cut here.
+        frontier = frontier.localCheckpoint(eager=True)
         wants_step = _kernel_wants_step(kernel)
         step = start_step
         rounds_since_truncate = 0
         prev_cached: list[DataFrame] = []  # state/frontier persists of older rounds
-        epoch_cached: list[DataFrame] = []  # everything since the last truncation
+        epoch_cached: list[DataFrame] = [frontier]  # since the last truncation
         while step < max_iter:
             step += 1
             round_t0 = time.monotonic()
             if pre_superstep is not None:
                 pre_superstep(step)
-            # The frontier is the node referenced twice per round; an
-            # eager localCheckpoint here is cheap (frontier is small)
-            # and keeps the state lineage linear.
-            frontier = frontier.localCheckpoint(eager=True)
-            epoch_cached.append(frontier)
             routed = blocks.route(frontier)
 
             kernel_fn = _bind_step(kernel, step) if wants_step else kernel
@@ -239,6 +293,12 @@ class PCEngine:
                         "target ids absent from the vertex set)"
                     )
             new_state = update(state, msgs, step)
+            obs: Observation | None = None
+            if metrics_exprs:
+                # Evaluated as a side-effect of this round's single
+                # materializing action — no separate aggregation pass.
+                obs = Observation(f"pcgraph_{algorithm}_step{step}")
+                new_state = new_state.observe(obs, *metrics_exprs)
 
             do_ckpt = (
                 self.checkpoint_dir is not None and step % self.checkpoint_every == 0
@@ -270,8 +330,21 @@ class PCEngine:
                 epoch_cached.append(new_state)
 
             new_frontier = frontier_fn(new_state)
-            metrics = metrics_fn(new_state, step) if metrics_fn else {}
+            # THE materializing action of the round: populates the state
+            # cache (persist branch), cuts the frontier lineage, and
+            # fires the observation metrics — one job, one data pass.
+            new_frontier = new_frontier.localCheckpoint(eager=True)
+            if obs is not None:
+                observed = dict(obs.get)
+                metrics = (
+                    metrics_post(observed, step) if metrics_post else observed
+                )
+            elif metrics_fn:
+                metrics = metrics_fn(new_state, step)
+            else:
+                metrics = {}
             if "active" not in metrics:
+                # cheap: counts the already-materialized checkpoint RDD
                 metrics["active"] = new_frontier.count()
             metrics.update(
                 superstep=step,
@@ -313,6 +386,8 @@ class PCEngine:
                 prev_cached = prev_cached[-4:]
             if not truncated:
                 prev_cached, epoch_cached = prev_cached + epoch_cached, []
+            # the new frontier's checkpoint blocks belong to the NEW epoch
+            epoch_cached.append(new_frontier)
             state, frontier = new_state, new_frontier
             self.history.append(metrics)
             if post_superstep is not None:

@@ -68,3 +68,39 @@ class StageMetricsSampler:
         out = {f: round(now[f] - self._last[f], 1) for f in _FIELDS}
         self._last = now
         return out
+
+
+class HostCpuSampler:
+    """Per-window host CPU accounting from ``/proc/stat`` — documents
+    measurement-window quality on a multi-tenant host (CPU steal means
+    the hypervisor gave our vCPUs away; high `sys`/iowait means ambient
+    contention).  Scaling-efficiency pairs are only comparable when both
+    runs saw similar steal, so each bench round records this."""
+
+    _KEYS = ("user", "nice", "sys", "idle", "iowait", "irq", "softirq", "steal")
+
+    def __init__(self):
+        self._last = self._read()
+
+    @staticmethod
+    def _read() -> list[int] | None:
+        try:
+            with open("/proc/stat") as fh:
+                first = fh.readline().split()
+            return [int(x) for x in first[1:9]]
+        except Exception:
+            return None
+
+    def delta(self) -> dict[str, float]:
+        """Fraction of total host CPU ticks per category since the last
+        call (e.g. ``steal_pct``)."""
+        now = self._read()
+        if now is None or self._last is None:
+            return {}
+        d = [n - l for n, l in zip(now, self._last)]
+        self._last = now
+        total = sum(d) or 1
+        return {
+            f"{k}_pct": round(100.0 * v / total, 2)
+            for k, v in zip(self._KEYS, d)
+        }

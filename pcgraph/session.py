@@ -41,15 +41,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PCGRAPH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # GC choice is workload-dependent (see docs/PERF.md): ParallelGC
-        # held round variance down in round 1 (when multi-MB block cells
-        # churned the heap), but the round-2 state-persist design churns
-        # ~5-10 GB of short-lived cache/Arrow buffers per superstep and
-        # ParallelGC full collections showed 100-900s stalls at 24g.
-        # Override per-run with PCGRAPH_JAVA_OPTS.
+        # GC: G1 is the default — the superstep loop churns ~5-10 GB of
+        # short-lived cache/Arrow buffers per round, and a measured
+        # G1-vs-ParallelGC A/B on the 316M-edge loop cut total GC time
+        # 8.6x (ParallelGC full collections showed 100-900s stalls at
+        # 24g heaps; see docs/PERF.md).  Override with PCGRAPH_JAVA_OPTS.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("PCGRAPH_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "PCGRAPH_JAVA_OPTS", "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"
+            ),
         )
         # local-mode robustness: long stop-the-world pauses during block
         # builds must not trip the executor heartbeat (driver==executor)

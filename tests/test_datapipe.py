@@ -309,3 +309,44 @@ def test_lsh_n_bands_validation(spark):
         lsh_candidate_pairs(sigs, n_bands=5)
     with pytest.raises(ValueError, match="must divide"):
         lsh_candidate_pairs(sigs, n_bands=3)
+
+
+def test_cosine_near_duplicates_exact_and_blocked(spark):
+    from pcgraph.datapipe.similarity import cosine_near_duplicates
+
+    rng = np.random.default_rng(7)
+    # 4 well-separated cluster directions; members = direction + tiny noise
+    dirs = rng.normal(size=(4, 16))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    vecs = np.vstack([
+        dirs[i % 4] + 0.01 * rng.normal(size=16) for i in range(40)
+    ]).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+    # numpy oracle for the exact path
+    v = vecs.astype(np.float64)
+    cos = (v @ v.T) / np.outer(
+        np.linalg.norm(v, axis=1), np.linalg.norm(v, axis=1)
+    )
+    expect = {
+        (a, b) for a in range(40) for b in range(a + 1, 40) if cos[a, b] >= 0.99
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in cosine_near_duplicates(df, threshold=0.99).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+    # IVF-blocked path: same-cluster members share a bucket here, so the
+    # blocked candidate set recovers every exact pair
+    blocked = {
+        (r.a_id, r.b_id)
+        for r in cosine_near_duplicates(
+            df, threshold=0.99, n_centroids=4, iters=3
+        ).collect()
+    }
+    assert blocked == expect
