@@ -86,8 +86,13 @@ def pagerank(
         blocks = build_blocks(
             spark, e, num_partitions, salt_threshold=salt_threshold, weighted=weighted
         )
+    # PageRank is full-frontier: the frontier is a projection of all ~|V|
+    # state rows every round, so the engine skips the per-round frontier
+    # materialization (frontier_checkpoint=False below) and bounds the
+    # doubled-per-round plan with a tighter truncation cadence instead.
     engine = PCEngine(
-        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
+        spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        truncate_every=4,
     )
 
     deg_expr = F.sum("weight") if weighted else F.count("*")
@@ -110,7 +115,13 @@ def pagerank(
             vset = vset.union(vertices.select("id")).distinct()
         vset = vset.join(out_deg, on="id", how="left").fillna(0.0, subset=["out_deg"])
         vset = vset.persist()
-        n_vertices = vset.count()
+        # one pass for both init counts
+        row = vset.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("dang"),
+        ).collect()[0]
+        n_vertices = int(row["n"])
+        n_dangling = int(row["dang"] or 0)
         init = 1.0 / n_vertices
         state = vset.select(
             "id",
@@ -118,7 +129,6 @@ def pagerank(
             F.lit(init).alias("prev_pr"),
             "out_deg",
         )
-        n_dangling = vset.filter(F.col("out_deg") == 0).count()
         loop_state["dangling"] = n_dangling * init
         vset.unpersist()
 
@@ -176,6 +186,7 @@ def pagerank(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="pagerank",
+        frontier_checkpoint=False,
         post_superstep=post_superstep,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

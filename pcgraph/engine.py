@@ -163,6 +163,7 @@ class PCEngine:
         algorithm: str = "custom",
         prefilter_blocks: bool = False,
         strict: bool = False,
+        frontier_checkpoint: bool = True,
         pre_superstep: Callable[[int], None] | None = None,
         post_superstep: Callable[[int, dict], None] | None = None,
     ) -> tuple[DataFrame, list[dict]]:
@@ -201,7 +202,7 @@ class PCEngine:
                 blocks, state, frontier, kernel, msg_schema, update,
                 frontier_fn, max_iter, metrics_fn, metrics_exprs,
                 metrics_post, start_step, algorithm, prefilter_blocks,
-                strict, pre_superstep, post_superstep,
+                strict, frontier_checkpoint, pre_superstep, post_superstep,
             )
         finally:
             conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -223,6 +224,7 @@ class PCEngine:
         algorithm: str,
         prefilter_blocks: bool,
         strict: bool,
+        frontier_checkpoint: bool,
         pre_superstep: Callable[[int], None] | None,
         post_superstep: Callable[[int, dict], None] | None,
     ) -> tuple[DataFrame, list[dict]]:
@@ -236,12 +238,21 @@ class PCEngine:
         # happens at the END of each round (the round's one materializing
         # action, which also populates the state cache and fires the
         # observation metrics); the initial frontier is cut here.
-        frontier = frontier.localCheckpoint(eager=True)
+        #
+        # ``frontier_checkpoint=False`` (full-frontier algorithms like
+        # PageRank/sync LPA, where the frontier is ~|V| every round):
+        # skip the per-round frontier materialization — at 316M edges
+        # that is a 3.1 GB object-form RDD written AND re-read every
+        # round for data the state cache already holds.  The frontier
+        # stays a lazy projection of the persisted state; the analyzed
+        # plan then doubles per round (state referenced twice), so the
+        # truncation cadence bounds it at 2^truncate_every copies —
+        # keep truncate_every <= ~4 in this mode.
+        if frontier_checkpoint:
+            frontier = frontier.localCheckpoint(eager=True)
         wants_step = _kernel_wants_step(kernel)
         step = start_step
         rounds_since_truncate = 0
-        prev_cached: list[DataFrame] = []  # state/frontier persists of older rounds
-        epoch_cached: list[DataFrame] = [frontier]  # since the last truncation
         while step < max_iter:
             step += 1
             round_t0 = time.monotonic()
@@ -327,13 +338,18 @@ class PCEngine:
                 # side Exchange; materialized by the metrics action (or
                 # the frontier checkpoint) below.
                 new_state = new_state.persist()
-                epoch_cached.append(new_state)
 
             new_frontier = frontier_fn(new_state)
             # THE materializing action of the round: populates the state
             # cache (persist branch), cuts the frontier lineage, and
             # fires the observation metrics — one job, one data pass.
-            new_frontier = new_frontier.localCheckpoint(eager=True)
+            if frontier_checkpoint:
+                new_frontier = new_frontier.localCheckpoint(eager=True)
+            elif not truncated:
+                # no frontier materialization in this mode — the persist
+                # branch still needs one action to populate the state
+                # cache and fire the observation
+                new_state.count()
             if obs is not None:
                 observed = dict(obs.get)
                 metrics = (
@@ -358,36 +374,30 @@ class PCEngine:
                 self._commit_round(blocks, step, new_frontier, metrics)
             if strict:
                 msgs.unpersist()
+            # Release the PREVIOUS round's cache blocks now: the new
+            # state is fully materialized (MEMORY_AND_DISK, never
+            # silently lost in-process), so the old frontier/state are
+            # only needed if a recompute walks past them — bounded by
+            # the last truncation, which is exactly the durability
+            # contract.  Holding a whole epoch (measured: ~5 GB of
+            # frontier checkpoint + state persist PER ROUND at 316M
+            # edges) starves execution memory and turns every sort/agg
+            # page allocation into storage-eviction churn on the
+            # UnifiedMemoryManager lock.
+            for df in (frontier, state if state is not last_trunc else None):
+                if df is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
             if truncated:
                 rounds_since_truncate = 0
-                # new_state no longer depends on anything cached before
-                # it: release the whole previous epoch + the old
-                # lineage root (its localCheckpoint blocks).
-                drop = prev_cached + epoch_cached
-                if last_trunc is not None:
-                    drop.append(last_trunc)
-                for df in drop:
+                if last_trunc is not None and last_trunc is not state:
                     try:
-                        df.unpersist()
+                        last_trunc.unpersist()
                     except Exception:
                         pass
-                prev_cached, epoch_cached = [], []
                 last_trunc = new_state
-            elif len(prev_cached) > 4:
-                # Bound memory within an epoch: drop the oldest cached
-                # rounds.  Safe — MEMORY_AND_DISK never silently evicts,
-                # and a recompute (executor loss) walks back to the last
-                # truncation, which is exactly the durability contract.
-                for df in prev_cached[:-4]:
-                    try:
-                        df.unpersist()
-                    except Exception:
-                        pass
-                prev_cached = prev_cached[-4:]
-            if not truncated:
-                prev_cached, epoch_cached = prev_cached + epoch_cached, []
-            # the new frontier's checkpoint blocks belong to the NEW epoch
-            epoch_cached.append(new_frontier)
             state, frontier = new_state, new_frontier
             self.history.append(metrics)
             if post_superstep is not None:

@@ -49,7 +49,15 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "PCGRAPH_JAVA_OPTS", "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"
+                "PCGRAPH_JAVA_OPTS",
+                # GCLockerRetryAllocationCount: large Tungsten pages
+                # (32 MB) allocated while JNI readers hold the GC locker
+                # abort with "Retried waiting for GCLocker too often" at
+                # the default of 2 retries — raise it (standard G1+Spark
+                # mitigation).
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"
+                " -XX:+UnlockDiagnosticVMOptions"
+                " -XX:GCLockerRetryAllocationCount=64",
             ),
         )
         # local-mode robustness: long stop-the-world pauses during block

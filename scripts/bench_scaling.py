@@ -121,10 +121,19 @@ def child(
 
 def run_child(
     cores: int, edges_path: str, max_iter: int, partitions: int,
-    use_store: bool = False, no_aqe: bool = True,
+    use_store: bool = False, no_aqe: bool = True, pin_cpus: bool = False,
 ) -> dict:
+    # pin_cpus: confine the WHOLE child (JVM executor threads AND the
+    # Python kernel workers) to exactly `cores` host CPUs via taskset.
+    # Plain local[N] only caps JVM task slots — pandas-UDF workers are
+    # separate processes that spill onto the host's remaining cores, so
+    # an unpinned local[N] run borrows ~2N cores' worth of compute and
+    # deflates the N-side of a scaling pair.  Pinning makes "N cores vs
+    # 4N cores" mean what it says (the north-rule cluster-size proxy).
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin_cpus else []
     out = subprocess.run(
-        [
+        prefix
+        + [
             sys.executable, __file__, "--child", str(cores),
             "--edges", edges_path,
             "--max-iter", str(max_iter),
@@ -164,6 +173,10 @@ def main() -> None:
     ap.add_argument("--write-baseline", action="store_true",
                     help="regenerate BENCH/BASELINE.md from this run "
                          "(default: only the JSON, BASELINE.md is curated)")
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="taskset each child to exactly its core count "
+                         "(JVM + Python workers) — the faithful N-vs-4N-"
+                         "cores protocol on a shared host")
     args = ap.parse_args()
 
     if args.child is not None:
@@ -247,9 +260,9 @@ def main() -> None:
     pairs = []
     for i in range(max(1, args.pairs)):
         low = run_child(args.low, args.edges, args.max_iter, args.partitions,
-                        args.store)
+                        args.store, pin_cpus=args.pin_cpus)
         high = run_child(args.high, args.edges, args.max_iter, args.partitions,
-                         args.store)
+                         args.store, pin_cpus=args.pin_cpus)
         rep = pair_report(low, high)
         rep["pair"] = i
         pairs.append(rep)
@@ -266,8 +279,10 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    tag = "_pinned" if args.pin_cpus else ""
     with open(
-        os.path.join(REPO, "BENCH", f"scaling_{args.low}v{args.high}.json"), "w"
+        os.path.join(REPO, "BENCH", f"scaling_{args.low}v{args.high}{tag}.json"),
+        "w",
     ) as fh:
         json.dump(report, fh, indent=1)
     if not args.write_baseline:
