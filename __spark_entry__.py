@@ -793,8 +793,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.38
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.38
         """,
         "lang_id": _lang_id_sql(),
         "knn_bucketed": """

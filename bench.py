@@ -74,9 +74,19 @@ def main() -> None:
     n_edges = edges.count()
     extras["n_edges"] = n_edges
 
+    # Block mode: SPARK_GRAFT_STORE=1 runs the iteration loop in block-
+    # store mode (topology read worker-side, the at-scale path); default
+    # is cogroup mode (faster to set up at small sf).  Recorded in extras.
+    use_store = os.environ.get("SPARK_GRAFT_STORE", "0") == "1"
+    extras["block_mode"] = "store" if use_store else "cogroup"
+    store_kw = (
+        {"store_dir": f"/tmp/pcgraph_bench_store_sf{sf}"} if use_store else {}
+    )
+
     t0 = time.monotonic()
     pr, pr_hist = pagerank(
-        spark, edges, tol=1e-6, max_iter=50, num_partitions=num_partitions
+        spark, edges, tol=1e-6, max_iter=50, num_partitions=num_partitions,
+        **store_kw,
     )
     pr.count()
     timings["pagerank"] = round(time.monotonic() - t0, 3)
@@ -128,6 +138,18 @@ def main() -> None:
         n_probe=2,
     ).count()
     timings["knn_ivf"] = round(time.monotonic() - t0, 3)
+
+    # honesty metric for the ANN trade (not timed as a query): recall@3
+    # of the default 8-centroid/2-probe IVF config vs exact brute force
+    from pcgraph.datapipe.similarity import ivf_recall
+
+    extras["ivf_recall_at3"] = round(
+        ivf_recall(
+            emb, emb.filter(F.col("vec_id") < 20), k=3, n_centroids=8,
+            iters=2, n_probe=2,
+        ),
+        4,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

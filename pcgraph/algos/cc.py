@@ -28,6 +28,7 @@ from ..partition import (
     GraphBlocks,
     block_edge_source_index,
     build_blocks,
+    ensure_block_store,
     unpack_block,
     vertex_ids,
 )
@@ -90,6 +91,7 @@ def connected_components(
     checkpoint_every: int = 1,
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
+    store_dir: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run CC to convergence; returns (DataFrame[id, component], metrics).
 
@@ -98,9 +100,15 @@ def connected_components(
     """
     sym = symmetrize(edges)
     if blocks is None:
-        blocks = build_blocks(
-            spark, sym, num_partitions, salt_threshold=salt_threshold
-        )
+        if store_dir is not None:
+            blocks = ensure_block_store(
+                spark, sym, num_partitions, store_dir,
+                salt_threshold=salt_threshold, tag="sym",
+            )
+        else:
+            blocks = build_blocks(
+                spark, sym, num_partitions, salt_threshold=salt_threshold
+            )
     engine = PCEngine(
         spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..engine import PCEngine
 from ..partition import (
+    ensure_block_store,
     GraphBlocks,
     block_edge_source_index,
     build_blocks,
@@ -82,6 +83,7 @@ def label_propagation(
     checkpoint_every: int = 1,
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
+    store_dir: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run synchronous LPA; returns (DataFrame[id, label], metrics).
 
@@ -95,7 +97,16 @@ def label_propagation(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     if blocks is None:
-        blocks = build_blocks(spark, e, num_partitions, salt_threshold=salt_threshold)
+        if store_dir is not None:
+            blocks = ensure_block_store(
+                spark, e, num_partitions, store_dir,
+                salt_threshold=salt_threshold,
+                tag="directed" if directed else "sym",
+            )
+        else:
+            blocks = build_blocks(
+                spark, e, num_partitions, salt_threshold=salt_threshold
+            )
     engine = PCEngine(
         spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
     )

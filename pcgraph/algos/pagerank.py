@@ -30,6 +30,7 @@ from ..partition import (
     GraphBlocks,
     block_edge_source_index,
     build_blocks,
+    ensure_block_store,
     unpack_block,
     vertex_ids,
 )
@@ -77,22 +78,28 @@ def pagerank(
     checkpoint_every: int = 1,
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
+    store_dir: str | None = None,
     post_superstep=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank to L1 convergence; returns (DataFrame[id, pagerank],
     per-round metrics incl. l1 delta and dangling mass)."""
     e = edges.select("src", "dst", *(["weight"] if weighted else []))
     if blocks is None:
-        blocks = build_blocks(
-            spark, e, num_partitions, salt_threshold=salt_threshold, weighted=weighted
-        )
-    # PageRank is full-frontier: the frontier is a projection of all ~|V|
-    # state rows every round, so the engine skips the per-round frontier
-    # materialization (frontier_checkpoint=False below) and bounds the
-    # doubled-per-round plan with a tighter truncation cadence instead.
+        if store_dir is not None:
+            # block-store mode: topology read worker-side, never crosses
+            # Arrow; the recommended iteration path at scale (PERF.md §7)
+            blocks = ensure_block_store(
+                spark, e, num_partitions, store_dir,
+                salt_threshold=salt_threshold, weighted=weighted,
+                tag="directed" + ("-w" if weighted else ""),
+            )
+        else:
+            blocks = build_blocks(
+                spark, e, num_partitions, salt_threshold=salt_threshold,
+                weighted=weighted,
+            )
     engine = PCEngine(
         spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        truncate_every=4,
     )
 
     deg_expr = F.sum("weight") if weighted else F.count("*")
@@ -186,7 +193,6 @@ def pagerank(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="pagerank",
-        frontier_checkpoint=False,
         post_superstep=post_superstep,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..engine import PCEngine
 from ..partition import (
+    ensure_block_store,
     GraphBlocks,
     block_edge_source_index,
     build_blocks,
@@ -72,13 +73,23 @@ def sssp(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume_from: str | None = None,
+    blocks=None,
+    store_dir: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
     metrics).  Unreached vertices have distance +inf."""
     e = edges.select("src", "dst", "weight")
-    blocks = build_blocks(
-        spark, e, num_partitions, salt_threshold=salt_threshold, weighted=True
-    )
+    if blocks is None:
+        if store_dir is not None:
+            blocks = ensure_block_store(
+                spark, e, num_partitions, store_dir,
+                salt_threshold=salt_threshold, weighted=True, tag="directed-w",
+            )
+        else:
+            blocks = build_blocks(
+                spark, e, num_partitions, salt_threshold=salt_threshold,
+                weighted=True,
+            )
     engine = PCEngine(
         spark, checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every
     )

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import PCEngine
-from .partition import GraphBlocks, build_blocks, degrees, vertex_ids
+from .partition import (
+    GraphBlocks,
+    build_blocks,
+    degrees,
+    ensure_block_store,
+    vertex_ids,
+)
 
 _FOLDS = {"min": F.min, "max": F.max, "sum": F.sum}
 
@@ -43,6 +49,7 @@ class PCGraph:
         num_partitions: int = 16,
         salt_threshold: int | None = None,
         weighted: bool = False,
+        store_dir: str | None = None,
     ):
         self.spark = spark
         self.edges = edges
@@ -50,19 +57,34 @@ class PCGraph:
         self.num_partitions = num_partitions
         self.salt_threshold = salt_threshold
         self.weighted = weighted
+        self.store_dir = store_dir
         self._blocks: GraphBlocks | None = None
 
     # -------------------------------------------------------- topology
     @property
     def blocks(self) -> GraphBlocks:
+        """The graph's CSR blocks — cogroup mode by default; with
+        ``store_dir`` set, a worker-readable block store (topology never
+        crosses Arrow per round; the at-scale iteration path)."""
         if self._blocks is None:
-            self._blocks = build_blocks(
-                self.spark,
-                self.edges,
-                self.num_partitions,
-                salt_threshold=self.salt_threshold,
-                weighted=self.weighted,
-            )
+            if self.store_dir is not None:
+                self._blocks = ensure_block_store(
+                    self.spark,
+                    self.edges,
+                    self.num_partitions,
+                    self.store_dir,
+                    salt_threshold=self.salt_threshold,
+                    weighted=self.weighted,
+                    tag="directed" + ("-w" if self.weighted else ""),
+                )
+            else:
+                self._blocks = build_blocks(
+                    self.spark,
+                    self.edges,
+                    self.num_partitions,
+                    salt_threshold=self.salt_threshold,
+                    weighted=self.weighted,
+                )
         return self._blocks
 
     def vertex_set(self) -> DataFrame:
@@ -207,7 +229,10 @@ class PCGraph:
         # PageRank runs on the raw directed edges — exactly what
         # self.blocks holds — so the cached CSR build is reused (the
         # build's full edge shuffle is amortized across algorithms).
-        kw.setdefault("blocks", self._blocks)
+        # With store_dir set, self.blocks IS the store handle.
+        kw.setdefault(
+            "blocks", self.blocks if self.store_dir is not None else self._blocks
+        )
         return pagerank(
             self.spark, self.edges, vertices=self.vertices,
             num_partitions=self.num_partitions,

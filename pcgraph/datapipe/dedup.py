@@ -9,10 +9,23 @@ computable in any engine (our DuckDB oracles reproduce it verbatim).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+log = logging.getLogger("pcgraph.dedup")
+
 DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def make_seeds(n_perms: int) -> tuple[str, ...]:
+    """Deterministic seed strings s0..s{n-1} for an n-permutation
+    MinHash.  The 4-perm default keeps oracle parity cheap; real
+    recall targets want 64-128 perms (use ``n_perms``/``n_bands`` on
+    ``near_duplicates``) — the LSH S-curve at r rows per band and b
+    bands crosses 1/2 at similarity ~ (1/b)^(1/r)."""
+    return tuple(f"s{i}" for i in range(n_perms))
 
 
 def exact_duplicates(
@@ -73,14 +86,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing any band key.
 
-    Bands = consecutive signature groups concatenated; a band-key
-    self-join per band, unioned + distinct.  Each band join shuffles on
-    the band hash.  A single giant bucket (boilerplate / empty docs at
+    Bands = consecutive signature groups concatenated.  All bands go
+    through ONE (band_idx, band) self-join (a single shuffle), not one
+    join per band.  A single giant bucket (boilerplate / empty docs at
     corpus scale) makes the self-join m² — ``max_bucket`` caps it:
     buckets larger than the cap are dropped from candidate generation
     (their members are still caught by exact dedup, which is how a
-    100 TB pipeline handles degenerate clusters), and the number of
-    dropped buckets is reported via one tiny aggregate, not silently.
+    100 TB pipeline handles degenerate clusters).  The cap check is one
+    aggregation over (band_idx, band) — one tiny driver action total,
+    reported through the ``pcgraph.dedup`` logger, never silent.
     """
     sig_cols = [c for c in signatures.columns if c.startswith("sig")]
     if not 1 <= n_bands <= len(sig_cols):
@@ -93,32 +107,54 @@ def lsh_candidate_pairs(
             "(trailing signatures would be silently dropped)"
         )
     per_band = len(sig_cols) // n_bands
-    pairs = None
-    for b in range(n_bands):
-        cols = sig_cols[b * per_band : (b + 1) * per_band]
-        banded = signatures.select(
-            "id", F.concat_ws("|", *[F.col(c) for c in cols]).alias("band")
-        )
-        if max_bucket is not None:
-            oversized = (
-                banded.groupBy("band")
-                .agg(F.count("*").alias("n"))
-                .filter(F.col("n") > max_bucket)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(c) for c in sig_cols[b * per_band : (b + 1) * per_band]],
+                ).alias("band"),
             )
-            n_over = oversized.count()
-            if n_over:
-                print(
-                    f"lsh_candidate_pairs: band {b}: dropping {n_over} bucket(s) "
-                    f"larger than max_bucket={max_bucket}"
-                )
-            banded = banded.join(oversized.select("band"), "band", "left_anti")
-        left = banded.select(F.col("id").alias("id1"), "band")
-        right = banded.select(F.col("id").alias("id2"), "band")
-        p = left.join(right, "band").filter(F.col("id1") < F.col("id2")).select(
-            "id1", "id2"
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band").alias("band"))
+    if max_bucket is not None:
+        # The cap check is the pipeline's first action; persisting the
+        # banded signatures means the shingle->minhash work runs ONCE
+        # (the check materializes the cache, the self-join reads it) —
+        # without this the whole upstream pipeline executes twice.
+        # MEMORY_AND_DISK, LRU-evictable; ~|docs|*n_bands small rows.
+        banded = banded.persist()
+        oversized = (
+            banded.groupBy("band_idx", "band")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
         )
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct()
+        dropped = oversized.agg(
+            F.count("*").alias("buckets"), F.sum("n").alias("members")
+        ).collect()[0]
+        if dropped["buckets"]:
+            log.warning(
+                "lsh_candidate_pairs: dropping %d bucket(s) (%d member rows) "
+                "larger than max_bucket=%d — members remain covered by "
+                "exact dedup",
+                dropped["buckets"], dropped["members"], max_bucket,
+            )
+        banded = banded.join(
+            oversized.select("band_idx", "band"), ["band_idx", "band"], "left_anti"
+        )
+    left = banded.select(F.col("id").alias("id1"), "band_idx", "band")
+    right = banded.select(F.col("id").alias("id2"), "band_idx", "band")
+    return (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
 
 
 def jaccard_similarity(
@@ -157,12 +193,23 @@ def near_duplicates(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_perms: int = 4,
+    n_bands: int = 2,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> minhash ->
-    band-bucket join -> exact Jaccard verify -> threshold filter."""
+    band-bucket join -> exact Jaccard verify -> threshold filter.
+
+    ``max_bucket`` (default 1024) guards the band self-join against
+    degenerate buckets (m² blowup on boilerplate-heavy corpora); capped
+    buckets stay covered by ``exact_duplicates``.  ``n_perms``/
+    ``n_bands`` tune the LSH S-curve — the 4/2 default is the cheap
+    oracle-parity config; 64-128 perms with 16-32 bands is the
+    recall-grade configuration at corpus scale.
+    """
     sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col)
-    sigs = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures(sh, seeds=make_seeds(n_perms))
+    cands = lsh_candidate_pairs(sigs, n_bands=n_bands, max_bucket=max_bucket)
     jac = jaccard_similarity(sh, cands)
     return jac.filter(F.col("jaccard") >= threshold)
 

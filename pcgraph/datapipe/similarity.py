@@ -256,6 +256,34 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivf_kwargs,
+) -> float:
+    """Recall@k of the IVF index vs exact brute force: |ANN ∩ exact| /
+    |exact|, averaged over queries — ONE joined aggregate (both top-k
+    plans + an inner join on (query_id, neighbor_id)).  This is the
+    honesty metric for the ANN trade: report it whenever the IVF path
+    replaces brute force."""
+    exact = cosine_topk_bruteforce(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col, **ivf_kwargs
+    ).select("query_id", "neighbor_id")
+    row = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("hit"))
+        .crossJoin(exact.agg(F.count("*").alias("total")))
+        .collect()[0]
+    )
+    return float(row["hit"]) / float(row["total"]) if row["total"] else 1.0
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -299,11 +327,18 @@ def cosine_near_duplicates(
         pairs = v.join(w, "bucket")
     else:
         pairs = v.crossJoin(w)
+    # The cosine is rounded to 6 decimals before the threshold compare
+    # (mirroring _nearest_buckets): summation order differs between
+    # engines, and an unrounded compare can flip pairs sitting exactly
+    # on the threshold between Spark and the DuckDB oracle.
     return (
         pairs.filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            _dot(F.col("av"), F.col("bv"))
-            / (_norm(F.col("av")) * _norm(F.col("bv")))
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (_norm(F.col("av")) * _norm(F.col("bv"))),
+                6,
+            )
             >= F.lit(float(threshold))
         )
         .select("a_id", "b_id")

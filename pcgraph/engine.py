@@ -16,22 +16,29 @@ the loop lives in the driver.  One global superstep =
 Convergence = empty frontier (reference semantics) or an
 algorithm-supplied metric (PageRank L1 < tol).
 
-Lineage/partitioning strategy (the two scale killers, measured):
-  * The FRONTIER is eagerly ``localCheckpoint``-ed every round.  The
-    frontier is the only place ``state`` is referenced twice per round
-    (messages + merge); checkpointing it makes the state plan chain
-    LINEAR instead of exponential (plain per-round persist blew up
-    analysis time by superstep ~8 in round-1 measurements).
-  * The STATE is ``persist()``-ed, NOT localCheckpoint-ed, between
-    truncations: a checkpointed DataFrame comes back as an opaque
-    ``Scan ExistingRDD`` with unknown partitioning, forcing a full
-    re-shuffle + re-sort of all N vertices on the state side of the
-    merge join every superstep.  A persisted join output keeps its
-    hash(id) partitioning AND sort order, so steady-state rounds show
-    NO Exchange and NO Sort on the state side — the only shuffle per
-    superstep is the (combined) message fold.  Every
-    ``truncate_every`` rounds the chain is cut with one eager
-    localCheckpoint (bounded analysis cost, bounded recompute window).
+Lineage strategy (measured; docs/PERF.md):
+  * The STATE is eagerly ``localCheckpoint``-ed EVERY round — the
+    round's single materializing job.  In Spark 4.x the resulting
+    ``LogicalRDD`` PRESERVES the merge join's outputPartitioning and
+    outputOrdering, so the next round's state-side merge has NO
+    Exchange and NO Sort; the only per-round shuffles are the routed
+    frontier and the (map-side combined) message fold.
+  * Checkpointing — an opaque plan — is load-bearing, not just a
+    lineage cut.  Anything that keeps the state's logical plan alive
+    across rounds (persist + lazy derivation) makes every round a
+    SELF-JOIN of the state with its own message branch: the analyzer's
+    DeduplicateRelations re-aliases the message side's subtree, the
+    re-aliased subtree no longer matches the cache registry, and the
+    whole chain silently re-executes back to the last opaque plan —
+    measured as per-round input/shuffle bytes DOUBLING per superstep
+    (2^k; 9 GB/round state scans at 316M edges grew to 31 GB by the
+    4th round).  One opaque checkpoint per round makes every round's
+    cost structurally identical — the property a 1000-round run at
+    100 TB needs.
+  * The previous round's checkpoint blocks are freed eagerly and
+    deterministically (``_free_checkpoint``) — ContextCleaner would
+    only free them at some later GC, and a long loop would otherwise
+    hold every round's ~|V| object-form rows in block storage.
 
 Every ``checkpoint_every`` rounds state+frontier go to Parquet with a
 ``_meta.json`` carrying superstep number, metrics, per-partition
@@ -42,7 +49,6 @@ frontier counts and a parent pointer, so runs resume mid-iteration
 from __future__ import annotations
 
 import inspect
-import json
 import os
 import time
 from collections.abc import Callable
@@ -50,6 +56,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .iohelpers import fs_exists, fs_list_dirs, read_json, write_json_atomic
 from .partition import GraphBlocks
 
 META_NAME = "_meta.json"
@@ -94,6 +101,21 @@ def _kernel_wants_step(kernel: Callable) -> bool:
         return False
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint``-ed DataFrame's cached RDD blocks
+    NOW.  ``DataFrame.unpersist`` only touches the SQL cache registry —
+    checkpoint blocks are RDD-level persistence, otherwise freed only
+    when the JVM garbage-collects the plan (ContextCleaner), which a
+    tight superstep loop cannot wait for.  Best-effort: falls back to
+    ContextCleaner if the internal accessor is unavailable."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class PCEngine:
     """Generic partition-centric iteration runner.
 
@@ -110,7 +132,8 @@ class PCEngine:
         VertexUpdateFunction.java:42-56); lazy, engine materializes;
       * ``frontier_fn(new_state) -> frontier[id, value]`` — the changed
         set (analog of setNewVertexValue's emit-on-change,
-        VertexUpdateFunction.java:85-93);
+        VertexUpdateFunction.java:85-93); stays a LAZY projection of
+        the checkpointed state (no second materialized copy per round);
       * optional ``metrics_fn(new_state, step) -> dict`` — one action
         over the materialized state (e.g. PageRank L1 delta); may set
         ``active`` and ``converged``;
@@ -126,7 +149,6 @@ class PCEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         partition_metrics: bool | None = None,
-        truncate_every: int = 8,
         aqe_in_loop: bool = False,
     ):
         self.spark = spark
@@ -135,7 +157,6 @@ class PCEngine:
         if partition_metrics is None:
             partition_metrics = checkpoint_dir is not None
         self.partition_metrics = partition_metrics
-        self.truncate_every = max(1, truncate_every)
         # AQE re-plans 3-4 query stages on the driver every superstep — a
         # serial per-round cost that hits higher parallelism levels
         # proportionally harder (Amdahl), and it buys nothing here: the
@@ -163,7 +184,6 @@ class PCEngine:
         algorithm: str = "custom",
         prefilter_blocks: bool = False,
         strict: bool = False,
-        frontier_checkpoint: bool = True,
         pre_superstep: Callable[[int], None] | None = None,
         post_superstep: Callable[[int, dict], None] | None = None,
     ) -> tuple[DataFrame, list[dict]]:
@@ -191,7 +211,8 @@ class PCEngine:
         extra actions/passes — vs ``metrics_fn``, which runs its own
         aggregation action).  ``metrics_post(observed_dict, step)``
         turns the raw observed values into the metrics dict (and may
-        set ``active``/``converged``).
+        set ``active``/``converged``).  The observe node rides the
+        checkpoint action only — it never enters the retained plan.
         """
         conf = self.spark.conf
         aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
@@ -202,7 +223,7 @@ class PCEngine:
                 blocks, state, frontier, kernel, msg_schema, update,
                 frontier_fn, max_iter, metrics_fn, metrics_exprs,
                 metrics_post, start_step, algorithm, prefilter_blocks,
-                strict, frontier_checkpoint, pre_superstep, post_superstep,
+                strict, pre_superstep, post_superstep,
             )
         finally:
             conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -224,35 +245,18 @@ class PCEngine:
         algorithm: str,
         prefilter_blocks: bool,
         strict: bool,
-        frontier_checkpoint: bool,
         pre_superstep: Callable[[int], None] | None,
         post_superstep: Callable[[int, dict], None] | None,
     ) -> tuple[DataFrame, list[dict]]:
+        # The initial state becomes the first opaque plan; the first
+        # round's merge pays one state-side shuffle into hash(id)
+        # partitioning, every later round inherits it from the previous
+        # round's checkpointed merge output (no Exchange, no Sort).
         state = state.localCheckpoint(eager=True)
-        last_trunc: DataFrame | None = state  # current lineage root
         if frontier is None:
             frontier = frontier_fn(state)
-        # The frontier is the node referenced twice per round (kernel
-        # input + being derived from the state both paths of the merge);
-        # an eager localCheckpoint keeps the state lineage linear.  It
-        # happens at the END of each round (the round's one materializing
-        # action, which also populates the state cache and fires the
-        # observation metrics); the initial frontier is cut here.
-        #
-        # ``frontier_checkpoint=False`` (full-frontier algorithms like
-        # PageRank/sync LPA, where the frontier is ~|V| every round):
-        # skip the per-round frontier materialization — at 316M edges
-        # that is a 3.1 GB object-form RDD written AND re-read every
-        # round for data the state cache already holds.  The frontier
-        # stays a lazy projection of the persisted state; the analyzed
-        # plan then doubles per round (state referenced twice), so the
-        # truncation cadence bounds it at 2^truncate_every copies —
-        # keep truncate_every <= ~4 in this mode.
-        if frontier_checkpoint:
-            frontier = frontier.localCheckpoint(eager=True)
         wants_step = _kernel_wants_step(kernel)
         step = start_step
-        rounds_since_truncate = 0
         while step < max_iter:
             step += 1
             round_t0 = time.monotonic()
@@ -308,48 +312,37 @@ class PCEngine:
             if metrics_exprs:
                 # Evaluated as a side-effect of this round's single
                 # materializing action — no separate aggregation pass.
+                # Attached on TOP of the merge plan; the checkpoint /
+                # write discards the plan, so the node fires exactly
+                # once and never survives into later rounds.
                 obs = Observation(f"pcgraph_{algorithm}_step{step}")
-                new_state = new_state.observe(obs, *metrics_exprs)
+                action_src = new_state.observe(obs, *metrics_exprs)
+            else:
+                action_src = new_state
 
             do_ckpt = (
                 self.checkpoint_dir is not None and step % self.checkpoint_every == 0
             )
-            rounds_since_truncate += 1
-            truncated = False
             if do_ckpt:
                 rdir = _round_dir(self.checkpoint_dir, step)
-                new_state.write.mode("overwrite").parquet(
+                action_src.write.mode("overwrite").parquet(
                     os.path.join(rdir, "state.parquet")
-                )
+                )  # the write is the materializing action (fires observe)
                 new_state = self.spark.read.parquet(
                     os.path.join(rdir, "state.parquet")
                 )
-                truncated = True
-            elif rounds_since_truncate >= self.truncate_every:
-                # Cut the (linear) plan chain: one eager materializing
-                # job.  Costs one state re-shuffle on the NEXT round's
-                # merge (checkpointed scans lose partitioning) — paid
-                # once per truncate_every rounds instead of every round.
-                new_state = new_state.localCheckpoint(eager=True)
-                truncated = True
+                # A parquet read-back has no partitioning metadata: the
+                # next round pays one state-side shuffle — the durable-
+                # checkpoint tax, once per checkpoint_every rounds.
             else:
-                # Persist keeps hash(id) partitioning + sort order from
-                # the merge join, so next round's merge needs no state-
-                # side Exchange; materialized by the metrics action (or
-                # the frontier checkpoint) below.
-                new_state = new_state.persist()
+                # THE materializing action of the round.  The returned
+                # LogicalRDD keeps the merge's hash(id) partitioning +
+                # sort order (Spark 4.x), so next round's merge has no
+                # state-side Exchange/Sort; the opaque plan makes the
+                # message branch's lineage start at an RDD leaf, so no
+                # self-join dedup / no recompute (module docstring).
+                new_state = action_src.localCheckpoint(eager=True)
 
-            new_frontier = frontier_fn(new_state)
-            # THE materializing action of the round: populates the state
-            # cache (persist branch), cuts the frontier lineage, and
-            # fires the observation metrics — one job, one data pass.
-            if frontier_checkpoint:
-                new_frontier = new_frontier.localCheckpoint(eager=True)
-            elif not truncated:
-                # no frontier materialization in this mode — the persist
-                # branch still needs one action to populate the state
-                # cache and fire the observation
-                new_state.count()
             if obs is not None:
                 observed = dict(obs.get)
                 metrics = (
@@ -359,8 +352,9 @@ class PCEngine:
                 metrics = metrics_fn(new_state, step)
             else:
                 metrics = {}
+            new_frontier = frontier_fn(new_state)
             if "active" not in metrics:
-                # cheap: counts the already-materialized checkpoint RDD
+                # one cheap scan of the checkpointed state (no shuffle)
                 metrics["active"] = new_frontier.count()
             metrics.update(
                 superstep=step,
@@ -374,30 +368,11 @@ class PCEngine:
                 self._commit_round(blocks, step, new_frontier, metrics)
             if strict:
                 msgs.unpersist()
-            # Release the PREVIOUS round's cache blocks now: the new
-            # state is fully materialized (MEMORY_AND_DISK, never
-            # silently lost in-process), so the old frontier/state are
-            # only needed if a recompute walks past them — bounded by
-            # the last truncation, which is exactly the durability
-            # contract.  Holding a whole epoch (measured: ~5 GB of
-            # frontier checkpoint + state persist PER ROUND at 316M
-            # edges) starves execution memory and turns every sort/agg
-            # page allocation into storage-eviction churn on the
-            # UnifiedMemoryManager lock.
-            for df in (frontier, state if state is not last_trunc else None):
-                if df is not None:
-                    try:
-                        df.unpersist()
-                    except Exception:
-                        pass
-            if truncated:
-                rounds_since_truncate = 0
-                if last_trunc is not None and last_trunc is not state:
-                    try:
-                        last_trunc.unpersist()
-                    except Exception:
-                        pass
-                last_trunc = new_state
+            # Free the PREVIOUS round's checkpoint blocks now: the new
+            # state is fully materialized, and block storage holding
+            # every round's ~|V| object-form rows starves execution
+            # memory (UnifiedMemoryManager eviction churn, measured).
+            _free_checkpoint(state)
             state, frontier = new_state, new_frontier
             self.history.append(metrics)
             if post_superstep is not None:
@@ -433,35 +408,35 @@ class PCEngine:
             state_path=os.path.join(rel, "state.parquet"),
             frontier_path=os.path.join(rel, "frontier.parquet"),
         )
-        tmp = os.path.join(rdir, META_NAME + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=1, default=str)
-        os.replace(tmp, os.path.join(rdir, META_NAME))
+        # Routed through the Hadoop FileSystem API so checkpoint_dir may
+        # be hdfs:// / s3a:// on a cluster (north rule: resumable).
+        write_json_atomic(self.spark, os.path.join(rdir, META_NAME), meta)
 
     # ------------------------------------------------------------------
     @staticmethod
-    def latest_round(checkpoint_dir: str) -> dict | None:
+    def latest_round(checkpoint_dir: str, spark: SparkSession | None = None) -> dict | None:
         """Find the newest committed round's meta (resume point)."""
-        if not os.path.isdir(checkpoint_dir):
-            return None
+        if spark is None:
+            spark = SparkSession.getActiveSession()
         best = None
-        for name in sorted(os.listdir(checkpoint_dir)):
+        for name in fs_list_dirs(spark, checkpoint_dir):
             meta_path = os.path.join(checkpoint_dir, name, META_NAME)
-            if name.startswith("round=") and os.path.exists(meta_path):
-                with open(meta_path) as fh:
-                    meta = json.load(fh)
+            if name.startswith("round=") and fs_exists(spark, meta_path):
+                meta = read_json(spark, meta_path)
                 if meta.get("committed"):
                     best = meta
         return best
 
     def resume(self, checkpoint_dir: str) -> tuple[DataFrame, DataFrame, dict] | None:
         """Load (state, frontier, meta) of the latest committed round."""
-        meta = self.latest_round(checkpoint_dir)
+        meta = self.latest_round(checkpoint_dir, self.spark)
         if meta is None:
             return None
 
         def _abspath(p: str) -> str:  # absolute paths = pre-relative-meta runs
-            return p if os.path.isabs(p) else os.path.join(checkpoint_dir, p)
+            if "://" in p or os.path.isabs(p):
+                return p
+            return os.path.join(checkpoint_dir, p)
 
         state = self.spark.read.parquet(_abspath(meta["state_path"]))
         frontier = self.spark.read.parquet(_abspath(meta["frontier_path"]))

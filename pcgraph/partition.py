@@ -19,7 +19,6 @@ messages per partition, so each edge still contributes exactly once.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -27,6 +26,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .iohelpers import (
+    is_remote,
+    local_or_uri_abspath,
+    read_json,
+    strip_file_scheme,
+    write_json_atomic,
+)
 
 # CSR arrays travel as binary blobs (raw little-endian numpy buffers):
 # Spark converts array<long> cells to Arrow element-by-element, which
@@ -255,15 +262,16 @@ def save_blocks(blocks: GraphBlocks, path: str) -> None:
         blocks.mirrors.write.mode("overwrite").parquet(
             os.path.join(path, "mirrors")
         )
-    with open(os.path.join(path, "blocks_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # Hadoop FS API: ``path`` may be hdfs:// / s3a:// / file:// / local
+    write_json_atomic(
+        blocks.blocks.sparkSession, os.path.join(path, "blocks_meta.json"), meta
+    )
 
 
 def load_blocks(spark: SparkSession, path: str) -> GraphBlocks:
     """Load saved CSR blocks; repartition on partition_id + persist so
     supersteps reuse the cached partitioning (no per-round shuffle)."""
-    with open(os.path.join(path, "blocks_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = read_json(spark, os.path.join(path, "blocks_meta.json"))
     blocks = (
         spark.read.parquet(os.path.join(path, "blocks"))
         .repartition(
@@ -289,7 +297,7 @@ def load_blocks(spark: SparkSession, path: str) -> GraphBlocks:
 STORE_META = "store_meta.json"
 
 
-def save_block_store(blocks: GraphBlocks, path: str) -> None:
+def save_block_store(blocks: GraphBlocks, path: str, tag: str = "") -> None:
     """Write CSR blocks as a BLOCK STORE: ``partition_id=N/`` directories
     of uncompressed Parquet, readable per-partition by the Python
     workers without touching the JVM.  Uncompressed on purpose — the
@@ -306,18 +314,60 @@ def save_block_store(blocks: GraphBlocks, path: str) -> None:
         "salt_threshold": blocks.salt_threshold,
         "weighted": blocks.weighted,
         "has_mirrors": blocks.mirrors is not None,
+        "tag": tag,
     }
     if blocks.mirrors is not None:
         blocks.mirrors.write.mode("overwrite").parquet(os.path.join(path, "mirrors"))
-    with open(os.path.join(path, STORE_META), "w") as fh:
-        json.dump(meta, fh)
+    write_json_atomic(
+        blocks.blocks.sparkSession, os.path.join(path, STORE_META), meta
+    )
+
+
+def ensure_block_store(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int,
+    path: str,
+    salt_threshold: int | None = None,
+    weighted: bool = False,
+    tag: str = "",
+) -> GraphBlocks:
+    """Open the block store at ``path``, building it from ``edges`` on
+    first use — the one-call plumbing that makes store mode reachable
+    from the algorithm APIs (``pagerank(..., store_dir=...)``).
+
+    ``tag`` guards against reusing a store built from a DIFFERENT edge
+    set (e.g. PageRank's directed edges vs CC's symmetrized ones): a
+    mismatching tag/num_partitions raises instead of silently iterating
+    the wrong topology.  The build (one full edge shuffle) runs once;
+    every later run and every other same-tag algorithm reuses the store.
+    """
+    from .iohelpers import fs_exists
+
+    meta_path = os.path.join(path, STORE_META)
+    if fs_exists(spark, meta_path):
+        meta = read_json(spark, meta_path)
+        if meta.get("tag", "") != tag or meta["num_partitions"] != num_partitions:
+            raise ValueError(
+                f"block store at {path} was built with tag="
+                f"{meta.get('tag', '')!r}/P={meta['num_partitions']} — "
+                f"requested tag={tag!r}/P={num_partitions}; use a distinct "
+                "store_dir per edge-set/partitioning"
+            )
+        return open_block_store(spark, path)
+    built = build_blocks(
+        spark, edges, num_partitions,
+        salt_threshold=salt_threshold, weighted=weighted,
+    )
+    save_block_store(built, path, tag=tag)
+    built.unpersist()
+    return open_block_store(spark, path)
 
 
 def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
     """Open a saved block store: no JVM-side cache at all — kernels read
     their partition's rows directly (``read_store_block``)."""
-    with open(os.path.join(path, STORE_META)) as fh:
-        meta = json.load(fh)
+    meta = read_json(spark, os.path.join(path, STORE_META))
     mirrors = None
     if meta["has_mirrors"]:
         mirrors = spark.read.parquet(os.path.join(path, "mirrors")).persist()
@@ -328,21 +378,114 @@ def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
         num_partitions=meta["num_partitions"],
         salt_threshold=meta["salt_threshold"],
         weighted=meta["weighted"],
-        store_path=os.path.abspath(os.path.join(path, "blocks")),
+        store_path=local_or_uri_abspath(os.path.join(path, "blocks")),
     )
+
+
+# Worker-local LRU for REMOTE block stores: on a cluster the store is a
+# shared FS / object store, and without a cache every superstep of every
+# task re-fetches its partition's CSR bytes over the network.  Fetched
+# partitions land under ``PCGRAPH_BLOCK_CACHE`` (per-worker local disk)
+# with LRU eviction at ``PCGRAPH_BLOCK_CACHE_GB``.  Store blocks are
+# immutable once written (save_block_store writes a fresh directory), so
+# cache entries are keyed by store identity + partition — no per-access
+# remote validation round-trips.
+_CACHE_DIR_ENV = "PCGRAPH_BLOCK_CACHE"
+_CACHE_CAP_ENV = "PCGRAPH_BLOCK_CACHE_GB"
+
+
+def _cache_root() -> str:
+    return os.environ.get(_CACHE_DIR_ENV, "/tmp/pcgraph_block_cache")
+
+
+def _evict_lru(root: str, cap_bytes: int) -> None:
+    """Drop least-recently-used partition dirs until under the cap.
+    Best-effort: concurrent workers may race; the loser re-fetches."""
+    import shutil
+
+    entries = []  # (atime, size, dir)
+    total = 0
+    for store in os.listdir(root) if os.path.isdir(root) else []:
+        sdir = os.path.join(root, store)
+        for part in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            pdir = os.path.join(sdir, part)
+            size = sum(
+                os.path.getsize(os.path.join(pdir, f))
+                for f in os.listdir(pdir)
+                if os.path.isfile(os.path.join(pdir, f))
+            )
+            try:
+                atime = os.path.getmtime(os.path.join(pdir, "_complete"))
+            except OSError:
+                atime = 0.0
+            entries.append((atime, size, pdir))
+            total += size
+    entries.sort()
+    for _, size, pdir in entries:
+        if total <= cap_bytes:
+            break
+        shutil.rmtree(pdir, ignore_errors=True)
+        total -= size
+
+
+def _fetch_remote_partition(store_path: str, partition_id: int) -> str:
+    """Copy one partition's parquet files to the worker-local cache
+    (atomic dir rename); returns the local directory."""
+    import hashlib
+    import shutil
+
+    from pyarrow import fs as pafs
+
+    key = hashlib.sha1(store_path.encode()).hexdigest()[:12]
+    root = _cache_root()
+    pdir = os.path.join(root, key, f"partition_id={partition_id}")
+    marker = os.path.join(pdir, "_complete")
+    if os.path.exists(marker):
+        try:  # touch = LRU recency signal
+            os.utime(marker, None)
+        except OSError:
+            pass
+        return pdir
+    filesystem, base = pafs.FileSystem.from_uri(store_path)
+    remote_dir = f"{base.rstrip('/')}/partition_id={partition_id}"
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(remote_dir, allow_not_found=True)
+    )
+    tmp = pdir + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for info in infos:
+        if info.type != pafs.FileType.File or not info.path.endswith(".parquet"):
+            continue
+        with filesystem.open_input_stream(info.path) as src, open(
+            os.path.join(tmp, os.path.basename(info.path)), "wb"
+        ) as dst:
+            shutil.copyfileobj(src, dst)
+    open(os.path.join(tmp, "_complete"), "w").close()
+    try:
+        os.rename(tmp, pdir)
+    except OSError:  # another worker won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    cap = int(float(os.environ.get(_CACHE_CAP_ENV, "8")) * (1 << 30))
+    _evict_lru(root, cap)
+    return pdir
 
 
 def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
     """Worker-side block read: one partition's CSR chunk rows as the
     same (chunk, col, data) frame the cogroup path delivers.  Local
-    reads are page-cache-hot after round 1; on a cluster the store
-    lives on the shared filesystem / object store (add a worker-local
-    LRU there if the read becomes remote)."""
+    stores read directly (page-cache-hot after round 1); remote stores
+    (hdfs:// / s3a:// / ...) go through the worker-local LRU cache."""
     import glob as _glob
 
+    import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    part_dir = os.path.join(store_path, f"partition_id={partition_id}")
+    if is_remote(store_path):
+        part_dir = _fetch_remote_partition(store_path, partition_id)
+    else:
+        part_dir = os.path.join(
+            strip_file_scheme(store_path), f"partition_id={partition_id}"
+        )
     files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
     if not files:
         return pd.DataFrame(
@@ -350,8 +493,6 @@ def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
              "data": pd.Series(dtype="object")}
         )
     tables = [_pq.read_table(f, columns=["chunk", "col", "data"]) for f in files]
-    import pyarrow as _pa
-
     return _pa.concat_tables(tables).to_pandas()
 
 

@@ -165,11 +165,15 @@ def main() -> None:
                     help="block-store mode: kernels read per-partition "
                          "parquet directly (no JVM block cache)")
     ap.add_argument("--no-aqe", action="store_true",
-                    help="disable AQE for the iteration session")
+                    help="(child only) disable AQE for the session; "
+                         "children ALWAYS run AQE-off — the loop refixes "
+                         "it anyway and a mixed A/B would not be a "
+                         "scaling pair")
     ap.add_argument("--pairs", type=int, default=1,
                     help="interleaved (low, high) measurement pairs; the "
-                         "best pair is the headline (ambient host noise "
-                         "hits both levels of an interleaved pair equally)")
+                         "MEDIAN pair is the headline (ambient host noise "
+                         "hits both levels of an interleaved pair equally; "
+                         "max() over pairs would be upward-biased)")
     ap.add_argument("--write-baseline", action="store_true",
                     help="regenerate BENCH/BASELINE.md from this run "
                          "(default: only the JSON, BASELINE.md is curated)")
@@ -268,14 +272,20 @@ def main() -> None:
         pairs.append(rep)
         print(f"pair {i}: efficiency={rep['scaling_efficiency']} "
               f"steady={rep['steady_scaling_efficiency']}", flush=True)
-    best = max(pairs, key=lambda r: r["scaling_efficiency"])
-    report = dict(best)
+    # Median pair as the headline: max() over repeated pairs is
+    # upward-biased (expected max grows with --pairs), and the >=0.8
+    # gate must not be cleared by cherry-picking ambient noise.
+    ordered = sorted(pairs, key=lambda r: r["scaling_efficiency"])
+    median = ordered[len(ordered) // 2]
+    report = dict(median)
     report["all_pairs"] = [
         {k: p[k] for k in ("pair", "scaling_efficiency",
                            "steady_scaling_efficiency")}
         for p in pairs
     ]
-    low, high, efficiency = best["low"], best["high"], best["scaling_efficiency"]
+    report["max_scaling_efficiency"] = ordered[-1]["scaling_efficiency"]
+    report["headline"] = "median_pair"
+    low, high, efficiency = median["low"], median["high"], median["scaling_efficiency"]
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
