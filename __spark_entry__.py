@@ -76,6 +76,51 @@ sigs AS (SELECT id,
 """
 
 
+def _strong_sigs_sql(n_perms: int = 64) -> str:
+    """_SHINGLE_SQL variant with n_perms minhash signatures (seed
+    strings s0..s{n-1}, mirroring dedup.make_seeds)."""
+    sig_cols = ",\n                ".join(
+        f"min(sha256('s{i}|' || shingle)) AS sig{i}" for i in range(n_perms)
+    )
+    base = _SHINGLE_SQL.rsplit("sigs AS", 1)[0]
+    return base + f"""sigs AS (SELECT id,
+                {sig_cols}
+         FROM sh GROUP BY id)"""
+
+
+def _near_duplicates_strong_sql(n_perms: int = 64, n_bands: int = 32) -> str:
+    per = n_perms // n_bands
+    band_cte = ",\n            ".join(
+        f"b{b} AS (SELECT id, "
+        + " || '|' || ".join(f"sig{b * per + j}" for j in range(per))
+        + " AS band FROM sigs)"
+        for b in range(n_bands)
+    )
+    pair_union = "\n                UNION\n                ".join(
+        f"SELECT a.id AS id1, b.id AS id2 FROM b{b} a "
+        f"JOIN b{b} b ON a.band = b.band AND a.id < b.id"
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH {_strong_sigs_sql(n_perms)},
+            {band_cte},
+            pairs AS (
+                {pair_union}),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT p.id1, p.id2, count(*) AS n_inter
+                      FROM pairs p
+                      JOIN sh s1 ON s1.id = p.id1
+                      JOIN sh s2 ON s2.id = p.id2 AND s2.shingle = s1.shingle
+                      GROUP BY 1, 2)
+            SELECT i.id1, i.id2,
+                   round(n_inter::DOUBLE / (z1.n + z2.n - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes z1 ON z1.id = i.id1
+            JOIN sizes z2 ON z2.id = i.id2
+            WHERE round(n_inter::DOUBLE / (z1.n + z2.n - n_inter), 6) >= 0.2
+        """
+
+
 def _pagerank_sql() -> str:
     body = f"""WITH {_COOC_SQL},
 verts AS (SELECT s_suppkey AS id FROM supplier),
@@ -382,6 +427,19 @@ def q_near_duplicates(spark, sf_dir):
     return near_duplicates(_read(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_near_duplicates_strong(spark, sf_dir):
+    """The recall-grade MinHash config (64 perms / 32 bands -> 2 rows
+    per band, LSH S-curve midpoint ~0.18) through the same pipeline —
+    oracle-gates the n_perms/n_bands parameterization (dedup.py
+    make_seeds/near_duplicates)."""
+    from pcgraph.datapipe.dedup import near_duplicates
+
+    return near_duplicates(
+        _read(spark, sf_dir, "documents"), threshold=0.2,
+        n_perms=64, n_bands=32,
+    )
+
+
 def q_simhash(spark, sf_dir):
     # sha256-parity formulation: bit-identical in any ANSI engine, so
     # the row gets a real value-hash oracle (the xxhash64 fast path in
@@ -606,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "near_duplicates": q_near_duplicates,
+        "near_duplicates_strong": q_near_duplicates_strong,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -740,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes z2 ON z2.id = i.id2
             WHERE round(n_inter::DOUBLE / (z1.n + z2.n - n_inter), 6) >= 0.2
         """,
+        "near_duplicates_strong": _near_duplicates_strong_sql(),
         "token_stats": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

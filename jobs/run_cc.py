@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=1)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--store-dir", default=None,
+                    help="block-store directory (built on first use); "
+                         "topology is then read worker-side — the "
+                         "recommended iteration path at scale")
     ap.add_argument("--salt-threshold", type=int, default=None)
     args = ap.parse_args()
 
@@ -39,6 +43,7 @@ def main() -> None:
         salt_threshold=args.salt_threshold,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        store_dir=args.store_dir,
         resume_from=args.resume_from,
     )
     result.write.mode("overwrite").parquet(args.out)

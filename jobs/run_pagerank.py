@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=1)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--store-dir", default=None,
+                    help="block-store directory (built on first use); "
+                         "topology is then read worker-side — the "
+                         "recommended iteration path at scale")
     args = ap.parse_args()
     if (args.edges is None) == (args.source is None):
         ap.error("exactly one of --edges / --source is required")
@@ -58,6 +62,7 @@ def main() -> None:
         salt_threshold=args.salt_threshold,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        store_dir=args.store_dir,
         resume_from=args.resume_from,
     )
     result.write.mode("overwrite").parquet(args.out)

@@ -123,13 +123,19 @@ def connected_components(
         start_step = int(meta["superstep"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
     else:
-        vset = vertex_ids(sym)
-        if vertices is not None:
-            vset = vset.union(vertices.select("id")).distinct()
+        if blocks.vertices_path is not None and vertices is None:
+            vset = spark.read.parquet(blocks.vertices_path).select("id")
+        else:
+            vset = vertex_ids(sym)
+            if vertices is not None:
+                vset = vset.union(vertices.select("id")).distinct()
         state = vset.select(
             "id", F.col("id").alias("value"), F.lit(True).alias("changed")
         )
-        frontier = state.select("id", "value")
+        # engine derives the initial frontier from the CHECKPOINTED
+        # state (all rows changed=True) — an explicit pre-checkpoint
+        # frontier would re-execute the vset init in round 1
+        frontier = None
 
     def update(state_df, msgs, step):
         folded = msgs.groupBy("dst").agg(F.min("msg").alias("msg"))

@@ -118,9 +118,12 @@ def label_propagation(
         start_step = int(meta["superstep"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
     else:
-        vset = vertex_ids(e)
-        if vertices is not None:
-            vset = vset.union(vertices.select("id")).distinct()
+        if blocks.vertices_path is not None and vertices is None:
+            vset = spark.read.parquet(blocks.vertices_path).select("id")
+        else:
+            vset = vertex_ids(e)
+            if vertices is not None:
+                vset = vset.union(vertices.select("id")).distinct()
         state = vset.select(
             "id", F.col("id").alias("value"), F.lit(True).alias("changed")
         )

@@ -117,10 +117,17 @@ def pagerank(
         loop_state["dangling"] = float(meta["dangling"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
     else:
-        vset = vertex_ids(e)
-        if vertices is not None:
-            vset = vset.union(vertices.select("id")).distinct()
-        vset = vset.join(out_deg, on="id", how="left").fillna(0.0, subset=["out_deg"])
+        if blocks.vertices_path is not None and vertices is None:
+            # store sidecar: (id, out_deg) census written at block
+            # build — skips the full edge-table scan+distinct init
+            vset = spark.read.parquet(blocks.vertices_path)
+        else:
+            vset = vertex_ids(e)
+            if vertices is not None:
+                vset = vset.union(vertices.select("id")).distinct()
+            vset = vset.join(out_deg, on="id", how="left").fillna(
+                0.0, subset=["out_deg"]
+            )
         vset = vset.persist()
         # one pass for both init counts
         row = vset.agg(
@@ -193,6 +200,8 @@ def pagerank(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="pagerank",
+        # prev_pr exists only for the L1 observe — never checkpointed
+        state_cols=["id", "pr", "out_deg"],
         post_superstep=post_superstep,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

@@ -73,7 +73,7 @@ def sssp(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume_from: str | None = None,
-    blocks=None,
+    blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
@@ -101,15 +101,18 @@ def sssp(
         start_step = int(meta["superstep"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
     else:
-        vset = vertex_ids(e)
-        if vertices is not None:
-            vset = vset.union(vertices.select("id")).distinct()
+        if blocks.vertices_path is not None and vertices is None:
+            vset = spark.read.parquet(blocks.vertices_path).select("id")
+        else:
+            vset = vertex_ids(e)
+            if vertices is not None:
+                vset = vset.union(vertices.select("id")).distinct()
         state = vset.select(
             "id",
             F.when(F.col("id") == source, 0.0).otherwise(F.lit(_INF)).alias("value"),
             (F.col("id") == source).alias("changed"),
         )
-        frontier = state.filter("changed").select("id", "value")
+        frontier = None  # derived from checkpointed state (source row)
 
     def update(state_df, msgs, step):
         folded = msgs.groupBy("dst").agg(F.min("msg").alias("msg"))

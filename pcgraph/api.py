@@ -199,7 +199,7 @@ class PCGraph:
         state, history = engine.run(
             blocks=self.blocks,
             state=state,
-            frontier=state.select("id", "value"),
+            frontier=None,  # derived from the checkpointed state
             kernel=kernel,
             msg_schema=msg_schema,
             update=update,

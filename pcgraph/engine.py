@@ -184,10 +184,17 @@ class PCEngine:
         algorithm: str = "custom",
         prefilter_blocks: bool = False,
         strict: bool = False,
+        state_cols: list[str] | None = None,
         pre_superstep: Callable[[int], None] | None = None,
         post_superstep: Callable[[int, dict], None] | None = None,
     ) -> tuple[DataFrame, list[dict]]:
         """Iterate to convergence.
+
+        ``state_cols``: columns to RETAIN in the per-round materialized
+        state.  Metric-only columns (e.g. PageRank's prev_pr, consumed
+        by the observe expressions) are projected away after the
+        observation fires, so they never occupy checkpoint storage —
+        at 316M edges this cuts the per-round state bytes ~25%.
 
         ``prefilter_blocks=True`` restricts each round's cogroup to the
         partitions the frontier actually touches (one tiny distinct-
@@ -223,7 +230,7 @@ class PCEngine:
                 blocks, state, frontier, kernel, msg_schema, update,
                 frontier_fn, max_iter, metrics_fn, metrics_exprs,
                 metrics_post, start_step, algorithm, prefilter_blocks,
-                strict, pre_superstep, post_superstep,
+                strict, state_cols, pre_superstep, post_superstep,
             )
         finally:
             conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -245,6 +252,7 @@ class PCEngine:
         algorithm: str,
         prefilter_blocks: bool,
         strict: bool,
+        state_cols: list[str] | None,
         pre_superstep: Callable[[int], None] | None,
         post_superstep: Callable[[int, dict], None] | None,
     ) -> tuple[DataFrame, list[dict]]:
@@ -319,6 +327,11 @@ class PCEngine:
                 action_src = new_state.observe(obs, *metrics_exprs)
             else:
                 action_src = new_state
+            if state_cols is not None:
+                # metric-only columns end at the observation: project
+                # them away BELOW the checkpoint (partitioning on id is
+                # preserved through Project/CollectMetrics)
+                action_src = action_src.select(*state_cols)
 
             do_ckpt = (
                 self.checkpoint_dir is not None and step % self.checkpoint_every == 0

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .iohelpers import (
+    fs_exists,
     is_remote,
     local_or_uri_abspath,
     read_json,
@@ -93,6 +94,11 @@ class GraphBlocks:
     salt_threshold: int | None
     weighted: bool
     store_path: str | None = None
+    # store sidecar with the graph's vertex census (id, out_deg):
+    # algorithm init (vertex-set completion + degree aggregation) is a
+    # full edge-table scan+distinct — at 316M edges ~20 min on 2 cores,
+    # repeated by EVERY algorithm run.  The store writes it once.
+    vertices_path: str | None = None
 
     def route(self, frontier: DataFrame) -> DataFrame:
         """Attach ``partition_id`` to frontier rows [id, value...].
@@ -342,8 +348,6 @@ def ensure_block_store(
     the wrong topology.  The build (one full edge shuffle) runs once;
     every later run and every other same-tag algorithm reuses the store.
     """
-    from .iohelpers import fs_exists
-
     meta_path = os.path.join(path, STORE_META)
     if fs_exists(spark, meta_path):
         meta = read_json(spark, meta_path)
@@ -360,6 +364,19 @@ def ensure_block_store(
         salt_threshold=salt_threshold, weighted=weighted,
     )
     save_block_store(built, path, tag=tag)
+    # vertex census sidecar: complete vertex set + out-degree, written
+    # once at build so algorithm init skips the edge-table scan
+    deg_expr = F.sum("weight") if weighted else F.count("*")
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        deg_expr.cast("double").alias("out_deg")
+    )
+    (
+        vertex_ids(edges)
+        .join(out_deg, on="id", how="left")
+        .fillna(0.0, subset=["out_deg"])
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "vertices"))
+    )
     built.unpersist()
     return open_block_store(spark, path)
 
@@ -372,6 +389,7 @@ def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
     if meta["has_mirrors"]:
         mirrors = spark.read.parquet(os.path.join(path, "mirrors")).persist()
         mirrors.count()
+    vpath = os.path.join(path, "vertices")
     return GraphBlocks(
         blocks=None,
         mirrors=mirrors,
@@ -379,6 +397,11 @@ def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
         salt_threshold=meta["salt_threshold"],
         weighted=meta["weighted"],
         store_path=local_or_uri_abspath(os.path.join(path, "blocks")),
+        vertices_path=(
+            local_or_uri_abspath(vpath)
+            if fs_exists(spark, os.path.join(vpath, "_SUCCESS"))
+            else None
+        ),
     )
 
 

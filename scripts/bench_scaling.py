@@ -24,6 +24,7 @@ sys.path.insert(0, REPO)
 def child(
     cores: int, edges_path: str, max_iter: int, partitions: int,
     use_store: bool = False, no_aqe: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> None:
     from pcgraph.algos.pagerank import pagerank
     from pcgraph.metrics import HostCpuSampler, StageMetricsSampler
@@ -37,8 +38,13 @@ def child(
         # loop's shuffle partitioning is already fixed (= cores) and
         # skew is handled by salting, so AQE buys nothing here.
         conf["spark.sql.adaptive.enabled"] = "false"
+    # shuffle_partitions defaults to the core count; pass a FIXED value
+    # for the cluster-faithful protocol (a real cluster keeps the data
+    # partitioning constant when executor count scales N -> 4N — only
+    # compute changes, so both sides should process identical task units)
     spark = get_spark(
-        app_name=f"pcgraph-scaling-{cores}", cores=cores, shuffle_partitions=cores,
+        app_name=f"pcgraph-scaling-{cores}", cores=cores,
+        shuffle_partitions=shuffle_partitions or cores,
         extra_conf=conf,
     )
     edges = spark.read.parquet(edges_path)
@@ -122,6 +128,7 @@ def child(
 def run_child(
     cores: int, edges_path: str, max_iter: int, partitions: int,
     use_store: bool = False, no_aqe: bool = True, pin_cpus: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     # pin_cpus: confine the WHOLE child (JVM executor threads AND the
     # Python kernel workers) to exactly `cores` host CPUs via taskset.
@@ -140,7 +147,12 @@ def run_child(
             "--partitions", str(partitions),
         ]
         + (["--store"] if use_store else [])
-        + (["--no-aqe"] if no_aqe else []),
+        + (["--no-aqe"] if no_aqe else [])
+        + (
+            ["--shuffle-partitions", str(shuffle_partitions)]
+            if shuffle_partitions
+            else []
+        ),
         capture_output=True,
         text=True,
         check=True,
@@ -177,6 +189,11 @@ def main() -> None:
     ap.add_argument("--write-baseline", action="store_true",
                     help="regenerate BENCH/BASELINE.md from this run "
                          "(default: only the JSON, BASELINE.md is curated)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="FIXED spark.sql.shuffle.partitions for BOTH "
+                         "sides (cluster-faithful: scaling executors "
+                         "does not re-partition the data); default = "
+                         "each child's core count")
     ap.add_argument("--pin-cpus", action="store_true",
                     help="taskset each child to exactly its core count "
                          "(JVM + Python workers) — the faithful N-vs-4N-"
@@ -185,7 +202,8 @@ def main() -> None:
 
     if args.child is not None:
         child(args.child, args.edges, args.max_iter, args.partitions,
-              use_store=args.store, no_aqe=args.no_aqe)
+              use_store=args.store, no_aqe=args.no_aqe,
+              shuffle_partitions=args.shuffle_partitions)
         return
 
     if not os.path.exists(args.edges):
@@ -264,9 +282,11 @@ def main() -> None:
     pairs = []
     for i in range(max(1, args.pairs)):
         low = run_child(args.low, args.edges, args.max_iter, args.partitions,
-                        args.store, pin_cpus=args.pin_cpus)
+                        args.store, pin_cpus=args.pin_cpus,
+                        shuffle_partitions=args.shuffle_partitions)
         high = run_child(args.high, args.edges, args.max_iter, args.partitions,
-                         args.store, pin_cpus=args.pin_cpus)
+                         args.store, pin_cpus=args.pin_cpus,
+                         shuffle_partitions=args.shuffle_partitions)
         rep = pair_report(low, high)
         rep["pair"] = i
         pairs.append(rep)
@@ -285,6 +305,12 @@ def main() -> None:
     ]
     report["max_scaling_efficiency"] = ordered[-1]["scaling_efficiency"]
     report["headline"] = "median_pair"
+    report["protocol"] = {
+        "pinned": args.pin_cpus,
+        "store_mode": args.store,
+        "shuffle_partitions": args.shuffle_partitions or "per-child cores",
+        "pairs": args.pairs,
+    }
     low, high, efficiency = median["low"], median["high"], median["scaling_efficiency"]
     print(json.dumps(report))
 
