@@ -122,13 +122,14 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(band_structs).alias("bk")
     ).select("id", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band").alias("band"))
+    banded_cached = None
     if max_bucket is not None:
         # The cap check is the pipeline's first action; persisting the
         # banded signatures means the shingle->minhash work runs ONCE
         # (the check materializes the cache, the self-join reads it) —
         # without this the whole upstream pipeline executes twice.
         # MEMORY_AND_DISK, LRU-evictable; ~|docs|*n_bands small rows.
-        banded = banded.persist()
+        banded = banded_cached = banded.persist()
         oversized = (
             banded.groupBy("band_idx", "band")
             .agg(F.count("*").alias("n"))
@@ -149,12 +150,20 @@ def lsh_candidate_pairs(
         )
     left = banded.select(F.col("id").alias("id1"), "band_idx", "band")
     right = banded.select(F.col("id").alias("id2"), "band_idx", "band")
-    return (
+    pairs = (
         left.join(right, ["band_idx", "band"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
     )
+    if banded_cached is not None:
+        # Materialize the (small, deduped) pairs so the banded cache can
+        # be released NOW instead of leaking until ContextCleaner gets to
+        # it across repeated pipeline invocations.  The checkpoint blocks
+        # are |pairs|-bounded and freed when the result is gc'd.
+        pairs = pairs.localCheckpoint(eager=True)
+        banded_cached.unpersist()
+    return pairs
 
 
 def jaccard_similarity(
@@ -162,15 +171,21 @@ def jaccard_similarity(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|.
 
-    Intersection via co-grouped join on shingle restricted to the
-    candidate pairs; sizes via per-doc counts.  Integer arithmetic until
-    the final division (deterministic across engines)."""
+    The candidate ``pairs`` join runs FIRST: ``pairs ⋈ shingles(id1) ⋈
+    shingles(id2, shingle)`` bounds the intermediate by |pairs| × the
+    per-doc shingle count.  The reverse order — shingles self-joined on
+    ``shingle`` before the pair restriction — is Σ_shingle count² rows:
+    one boilerplate trigram shared by 10⁶ docs would produce 10¹² rows
+    before the pair filter ever applied (Catalyst does not reorder inner
+    joins without CBO stats).  Sizes via per-doc counts; integer
+    arithmetic until the final division (deterministic across engines).
+    """
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("id").alias("id1"), "shingle")
     b = shingles.select(F.col("id").alias("id2"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .join(pairs, ["id1", "id2"])  # semi-restrict to candidates
+        pairs.join(a, "id1")  # |pairs| × shingles-of-id1
+        .join(b, ["id2", "shingle"])  # keep shingles present in BOTH docs
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -195,17 +210,22 @@ def near_duplicates(
     text_col: str = "text",
     n_perms: int = 4,
     n_bands: int = 2,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: shingle -> minhash ->
     band-bucket join -> exact Jaccard verify -> threshold filter.
 
-    ``max_bucket`` (default 1024) guards the band self-join against
-    degenerate buckets (m² blowup on boilerplate-heavy corpora); capped
-    buckets stay covered by ``exact_duplicates``.  ``n_perms``/
-    ``n_bands`` tune the LSH S-curve — the 4/2 default is the cheap
-    oracle-parity config; 64-128 perms with 16-32 bands is the
-    recall-grade configuration at corpus scale.
+    ``max_bucket`` is an OPT-IN guard for the band self-join against
+    degenerate buckets (m² blowup on boilerplate-heavy corpora).  It is
+    deliberately off by default: a capped bucket silently drops genuinely
+    near-but-not-identical documents (only byte-identical members stay
+    covered by ``exact_duplicates``), so capping is a recall trade the
+    caller must choose — and the uncapped default keeps results equal to
+    an uncapped oracle.  At corpus scale set ``max_bucket`` (e.g. 1024)
+    together with the recall-grade LSH config.  ``n_perms``/``n_bands``
+    tune the LSH S-curve — the 4/2 default is the cheap oracle-parity
+    config; 64-128 perms with 16-32 bands is the recall-grade
+    configuration.
     """
     sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col)
     sigs = minhash_signatures(sh, seeds=make_seeds(n_perms))

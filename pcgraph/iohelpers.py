@@ -29,10 +29,15 @@ def _fs_and_path(spark: SparkSession, path: str):
 
 
 def write_json_atomic(spark: SparkSession, path: str, obj: Any) -> None:
-    """Write JSON via tmp-file + rename (the commit marker the resume
-    protocol relies on).  HDFS rename is atomic; object stores degrade
-    to copy+delete — still a single visible 'committed' flip because
-    readers only look for the final name."""
+    """Write JSON via tmp-file + rename-with-overwrite (the commit
+    marker the resume protocol relies on).  The overwrite rename goes
+    through ``FileContext`` (``Options.Rename.OVERWRITE``) so replacing
+    an existing file is a SINGLE atomic flip on HDFS/POSIX — a separate
+    delete-then-rename would lose the already-committed previous version
+    if the process dies between the two calls.  Filesystems without
+    FileContext support fall back to delete+rename (object stores, where
+    rename is copy+delete anyway and the single-flip property cannot be
+    had)."""
     fs, dst, jvm = _fs_and_path(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
@@ -40,10 +45,21 @@ def write_json_atomic(spark: SparkSession, path: str, obj: Any) -> None:
         out.write(bytearray(json.dumps(obj, indent=1, default=str).encode()))
     finally:
         out.close()
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise OSError(f"rename {path}.tmp -> {path} failed")
+    try:
+        conf = spark._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), conf
+        )
+        opts = spark._sc._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dst, opts)
+    except Exception:
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise OSError(f"rename {path}.tmp -> {path} failed")
 
 
 def read_json(spark: SparkSession, path: str) -> dict:
@@ -54,6 +70,13 @@ def read_json(spark: SparkSession, path: str) -> dict:
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> None:
+    """Delete a file/directory if it exists (no-op otherwise)."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, recursive)
 
 
 def fs_exists(spark: SparkSession, path: str) -> bool:

@@ -337,6 +337,7 @@ def ensure_block_store(
     salt_threshold: int | None = None,
     weighted: bool = False,
     tag: str = "",
+    expected_edges: int | None = None,
 ) -> GraphBlocks:
     """Open the block store at ``path``, building it from ``edges`` on
     first use — the one-call plumbing that makes store mode reachable
@@ -344,19 +345,42 @@ def ensure_block_store(
 
     ``tag`` guards against reusing a store built from a DIFFERENT edge
     set (e.g. PageRank's directed edges vs CC's symmetrized ones): a
-    mismatching tag/num_partitions raises instead of silently iterating
-    the wrong topology.  The build (one full edge shuffle) runs once;
+    mismatching tag/num_partitions/salt_threshold/weighted raises
+    instead of silently iterating the wrong topology.  The edge COUNT is
+    recorded at build time as a content fingerprint; pass
+    ``expected_edges`` (a count the caller already has — never computed
+    here, a reopen must not pay an edge-table scan) and a mismatch
+    raises too, catching a store left over from REGENERATED input data
+    at the same path.  The build (one full edge shuffle) runs once;
     every later run and every other same-tag algorithm reuses the store.
     """
     meta_path = os.path.join(path, STORE_META)
     if fs_exists(spark, meta_path):
         meta = read_json(spark, meta_path)
-        if meta.get("tag", "") != tag or meta["num_partitions"] != num_partitions:
+        requested = {
+            "tag": tag,
+            "num_partitions": num_partitions,
+            "salt_threshold": salt_threshold,
+            "weighted": weighted,
+        }
+        stored = {k: meta.get(k) for k in requested}
+        stored["tag"] = stored["tag"] or ""
+        if stored != requested:
             raise ValueError(
-                f"block store at {path} was built with tag="
-                f"{meta.get('tag', '')!r}/P={meta['num_partitions']} — "
-                f"requested tag={tag!r}/P={num_partitions}; use a distinct "
-                "store_dir per edge-set/partitioning"
+                f"block store at {path} was built with {stored} — "
+                f"requested {requested}; use a distinct store_dir per "
+                "edge-set/partitioning"
+            )
+        stored_n = meta.get("n_edges")
+        if (
+            expected_edges is not None
+            and stored_n is not None
+            and int(stored_n) != int(expected_edges)
+        ):
+            raise ValueError(
+                f"block store at {path} holds {stored_n} edges but the "
+                f"input now has {expected_edges} — the input data changed "
+                "since the store was built; delete the store_dir to rebuild"
             )
         return open_block_store(spark, path)
     built = build_blocks(
@@ -364,6 +388,11 @@ def ensure_block_store(
         salt_threshold=salt_threshold, weighted=weighted,
     )
     save_block_store(built, path, tag=tag)
+    if expected_edges is None:
+        expected_edges = edges.count()  # build-time fingerprint (one scan)
+    meta = read_json(spark, meta_path)
+    meta["n_edges"] = int(expected_edges)
+    write_json_atomic(spark, meta_path, meta)
     # vertex census sidecar: complete vertex set + out-degree, written
     # once at build so algorithm init skips the edge-table scan
     deg_expr = F.sum("weight") if weighted else F.count("*")
@@ -421,11 +450,26 @@ def _cache_root() -> str:
     return os.environ.get(_CACHE_DIR_ENV, "/tmp/pcgraph_block_cache")
 
 
-def _evict_lru(root: str, cap_bytes: int) -> None:
-    """Drop least-recently-used partition dirs until under the cap.
-    Best-effort: concurrent workers may race; the loser re-fetches."""
-    import shutil
+# Entries touched within the grace window are NEVER evicted: a concurrent
+# task on the same worker may be between its fetch (which touched the
+# marker) and its read — evicting it there would silently hand that
+# kernel an EMPTY topology.  The window only needs to outlast a single
+# fetch->read gap (milliseconds); 5 minutes is safe for stalled tasks.
+_EVICT_GRACE_SEC = 300.0
 
+
+def _evict_lru(root: str, cap_bytes: int, protect: str | None = None) -> None:
+    """Drop least-recently-used partition dirs until under the cap.
+
+    ``protect`` (the just-fetched dir) and any entry touched within
+    ``_EVICT_GRACE_SEC`` are exempt — eviction must never delete a
+    partition a concurrent task is about to read.  Best-effort beyond
+    that; ``read_store_block`` re-fetches (bounded) if it loses a race.
+    """
+    import shutil
+    import time as _time
+
+    now = _time.time()
     entries = []  # (atime, size, dir)
     total = 0
     for store in os.listdir(root) if os.path.isdir(root) else []:
@@ -444,9 +488,11 @@ def _evict_lru(root: str, cap_bytes: int) -> None:
             entries.append((atime, size, pdir))
             total += size
     entries.sort()
-    for _, size, pdir in entries:
+    for atime, size, pdir in entries:
         if total <= cap_bytes:
             break
+        if pdir == protect or now - atime < _EVICT_GRACE_SEC:
+            continue
         shutil.rmtree(pdir, ignore_errors=True)
         total -= size
 
@@ -484,12 +530,23 @@ def _fetch_remote_partition(store_path: str, partition_id: int) -> str:
         ) as dst:
             shutil.copyfileobj(src, dst)
     open(os.path.join(tmp, "_complete"), "w").close()
+    fetched_bytes = sum(
+        os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
+    )
     try:
         os.rename(tmp, pdir)
     except OSError:  # another worker won the race
         shutil.rmtree(tmp, ignore_errors=True)
     cap = int(float(os.environ.get(_CACHE_CAP_ENV, "8")) * (1 << 30))
-    _evict_lru(root, cap)
+    if fetched_bytes > cap:
+        # Self-eviction would deterministically delete the partition we
+        # are about to read — fail loudly instead of converging wrong.
+        raise RuntimeError(
+            f"block-store partition {partition_id} is {fetched_bytes} bytes, "
+            f"larger than the worker cache cap ({cap} bytes) — raise "
+            f"${_CACHE_CAP_ENV} (or repartition the graph smaller)"
+        )
+    _evict_lru(root, cap, protect=pdir)
     return pdir
 
 
@@ -503,20 +560,51 @@ def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    if is_remote(store_path):
-        part_dir = _fetch_remote_partition(store_path, partition_id)
-    else:
+    empty = pd.DataFrame(
+        {"chunk": pd.Series(dtype="int32"), "col": pd.Series(dtype="object"),
+         "data": pd.Series(dtype="object")}
+    )
+    if not is_remote(store_path):
         part_dir = os.path.join(
             strip_file_scheme(store_path), f"partition_id={partition_id}"
         )
-    files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
-    if not files:
-        return pd.DataFrame(
-            {"chunk": pd.Series(dtype="int32"), "col": pd.Series(dtype="object"),
-             "data": pd.Series(dtype="object")}
-        )
-    tables = [_pq.read_table(f, columns=["chunk", "col", "data"]) for f in files]
-    return _pa.concat_tables(tables).to_pandas()
+        files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        # an absent/empty local dir is a legitimately edgeless partition
+        if not files:
+            return empty
+        tables = [
+            _pq.read_table(f, columns=["chunk", "col", "data"]) for f in files
+        ]
+        return _pa.concat_tables(tables).to_pandas()
+
+    # Remote store via the worker-local LRU cache.  A concurrent task's
+    # eviction may race between our fetch and read — the ``_complete``
+    # marker distinguishes "legitimately empty partition" (marker
+    # present, zero parquet files) from "evicted under us" (marker gone)
+    # — so the read retries a bounded number of times and then raises
+    # rather than silently treating the partition as edgeless.
+    last_err: Exception | None = None
+    for _attempt in range(3):
+        part_dir = _fetch_remote_partition(store_path, partition_id)
+        files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not os.path.exists(os.path.join(part_dir, "_complete")):
+            continue  # evicted between fetch and glob — re-fetch
+        if not files:
+            return empty  # marker present: genuinely no parquet remotely
+        try:
+            tables = [
+                _pq.read_table(f, columns=["chunk", "col", "data"])
+                for f in files
+            ]
+            return _pa.concat_tables(tables).to_pandas()
+        except (FileNotFoundError, OSError) as err:
+            last_err = err  # file deleted mid-read — re-fetch
+    raise RuntimeError(
+        f"block-store partition {partition_id} kept disappearing from the "
+        f"worker cache ({_CACHE_DIR_ENV}={_cache_root()}) after 3 fetch "
+        f"attempts — cache cap too small for the working set? "
+        f"(last error: {last_err})"
+    )
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -182,13 +182,12 @@ def test_remote_store_lru_cache(spark, tmp_path, monkeypatch):
     again = _fetch_remote_partition(store_blocks, 0)
     assert again == local_dir
 
-    # eviction: cap ~0 forces the LRU sweep to drop entries
+    # a partition larger than the cap raises instead of self-evicting
+    # (round-4 fix: self-eviction returned an empty topology silently)
     monkeypatch.setenv("PCGRAPH_BLOCK_CACHE_GB", "0.0000001")
-    _fetch_remote_partition(store_blocks, 1)
-    remaining = []
-    for root, _, files in os.walk(cache):
-        remaining += [os.path.join(root, f) for f in files]
-    assert len(remaining) < 8  # most entries evicted under the tiny cap
+    shutil.rmtree(os.path.join(cache), ignore_errors=True)
+    with pytest.raises(RuntimeError, match="cache cap"):
+        _fetch_remote_partition(store_blocks, 1)
     del t0
 
 
