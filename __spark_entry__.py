@@ -236,15 +236,12 @@ def q_top_degree(spark, sf_dir):
     )
 
 
-def q_cc_nations(spark, sf_dir):
-    from pcgraph.algos.cc import connected_components
-
+def _nation_edges(spark, sf_dir) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
     supp = _read(spark, sf_dir, "supplier")
-    nation = _read(spark, sf_dir, "nation")
-    edges = (
+    return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
@@ -254,13 +251,64 @@ def q_cc_nations(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def q_cc_nations(spark, sf_dir):
+    from pcgraph.algos.cc import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
     result, _ = connected_components(
         spark,
-        edges,
+        _nation_edges(spark, sf_dir),
         vertices=nation.select(F.col("n_nationkey").alias("id")),
         num_partitions=4,
     )
     return result
+
+
+def q_cc_incremental(spark, sf_dir):
+    """Same CC semantics through the INCREMENTAL bucketed-state loop
+    (engine._run_loop_incremental): each round rewrites only the state
+    buckets its messages touch — O(frontier) tail rounds.  Gated by the
+    same oracle as cc_nations; equality proves the partition-wise
+    upsert preserves the classic loop's semantics."""
+    import tempfile
+
+    from pcgraph.algos.cc import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
+    result, _ = connected_components(
+        spark,
+        _nation_edges(spark, sf_dir),
+        vertices=nation.select(F.col("n_nationkey").alias("id")),
+        num_partitions=4,
+        incremental=True,
+        state_store_dir=tempfile.mkdtemp(prefix="pcgraph_q_cc_inc_"),
+        n_buckets=8,
+    )
+    return result
+
+
+def q_sssp_incremental(spark, sf_dir):
+    """SSSP through the incremental bucketed-state loop (the wavefront
+    algorithm the O(frontier) rounds exist for); same oracle as
+    sssp_nations."""
+    import tempfile
+
+    from pcgraph.algos.sssp import sssp
+
+    result, _ = sssp(
+        spark,
+        _nation_weighted_edges(spark, sf_dir),
+        source=0,
+        num_partitions=4,
+        incremental=True,
+        state_store_dir=tempfile.mkdtemp(prefix="pcgraph_q_sssp_inc_"),
+        n_buckets=8,
+    )
+    return result.filter(F.col("distance") != float("inf")).select(
+        "id", "distance"
+    )
 
 
 def q_pagerank(spark, sf_dir):
@@ -560,6 +608,66 @@ SELECT query_id, neighbor_id, rank FROM (
     return body
 
 
+def q_knn_ivf_recall(spark, sf_dir):
+    """Recall@3 of the trained IVF index vs exact brute force, PER
+    QUERY — the honesty metric for the ANN trade promoted into the
+    oracle-gated correctness surface (the oracle recomputes both top-k
+    sets and the same intersection)."""
+    from pcgraph.datapipe.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_ivf(
+        emb, queries, k=3, n_centroids=_IVF_CENTROIDS, iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+def _knn_ivf_recall_sql() -> str:
+    return f"""
+        WITH approx AS ({_knn_ivf_sql()}),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) AS cos
+                   FROM q CROSS JOIN embeddings c
+                   WHERE c.vec_id <> q.vec_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 3),
+        hits AS (SELECT e.query_id, count(*) AS n_hits
+                 FROM exact e JOIN approx a
+                   ON a.query_id = e.query_id
+                  AND a.neighbor_id = e.neighbor_id
+                 GROUP BY 1),
+        totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+        SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+               round(COALESCE(h.n_hits, 0)::DOUBLE / t.n_exact, 6) AS recall
+        FROM totals t LEFT JOIN hits h ON h.query_id = t.query_id
+    """
+
+
 def q_dedup_embedding(spark, sf_dir):
     # embedding-cosine leg of the dedup family (exact all-pairs is the
     # correctness baseline; pcgraph.datapipe.similarity.
@@ -654,7 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "top_degree": q_top_degree,
         "cc_nations": q_cc_nations,
+        "cc_incremental": q_cc_incremental,
         "sssp_nations": q_sssp_nations,
+        "sssp_incremental": q_sssp_incremental,
         "pagerank5": q_pagerank,
         "label_prop2": q_label_prop,
         "label_prop_hashed": q_label_prop_hashed,
@@ -671,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "knn_bucketed": q_knn_bucketed,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
@@ -680,7 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "derive_edges": (
             "SELECT l_partkey AS src, l_suppkey AS dst, count(*) AS weight "
             "FROM lineitem GROUP BY 1, 2"
@@ -898,4 +1009,11 @@ def oracle_sql() -> dict[str, str]:
                               '' ORDER BY j) AS simhash
             FROM votes GROUP BY doc_id
         """,
+        "knn_ivf_recall": _knn_ivf_recall_sql(),
     }
+    # the incremental-state loop is gated by the SAME oracles as the
+    # classic loop — equality proves the partition-wise upsert preserves
+    # the reference semantics
+    d["cc_incremental"] = d["cc_nations"]
+    d["sssp_incremental"] = d["sssp_nations"]
+    return d

@@ -29,6 +29,10 @@ def main() -> None:
                          "topology is then read worker-side — the "
                          "recommended iteration path at scale")
     ap.add_argument("--salt-threshold", type=int, default=None)
+    ap.add_argument("--incremental", action="store_true",
+                    help="bucketed incremental state: sparse tail rounds "
+                         "rewrite only touched buckets (O(frontier))")
+    ap.add_argument("--state-store-dir", default=None)
     args = ap.parse_args()
 
     from pcgraph.algos.cc import connected_components
@@ -45,6 +49,8 @@ def main() -> None:
         checkpoint_every=args.checkpoint_every,
         store_dir=args.store_dir,
         resume_from=args.resume_from,
+        incremental=args.incremental,
+        state_store_dir=args.state_store_dir,
     )
     result.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"algorithm": "connected_components", "rounds": history}))

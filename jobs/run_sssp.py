@@ -4,6 +4,12 @@ Usage:
   spark-submit --py-files pcgraph.zip jobs/run_sssp.py \
       --edges <parquet src,dst,weight> --source ID --out <parquet> \
       [--partitions P] [--max-iter N] [--checkpoint-dir DIR] [--resume-from DIR]
+      [--store-dir DIR] [--incremental] [--state-store-dir DIR]
+
+``--incremental`` keeps the vertex state in a bucketed store so sparse
+wavefront rounds rewrite only touched buckets (O(frontier), not O(|V|));
+on a cluster pass a shared-FS --state-store-dir (defaults under
+--checkpoint-dir when set).
 """
 
 from __future__ import annotations
@@ -24,6 +30,9 @@ def main() -> None:
     ap.add_argument("--salt-threshold", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--store-dir", default=None)
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--state-store-dir", default=None)
     args = ap.parse_args()
 
     from pcgraph.algos.sssp import sssp
@@ -38,6 +47,9 @@ def main() -> None:
         salt_threshold=args.salt_threshold,
         checkpoint_dir=args.checkpoint_dir,
         resume_from=args.resume_from,
+        store_dir=args.store_dir,
+        incremental=args.incremental,
+        state_store_dir=args.state_store_dir,
     )
     result.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"algorithm": "sssp", "rounds": history}))

@@ -18,12 +18,15 @@ library/PCConnectedComponents.java):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
+from ..statestore import default_state_dir as _default_state_dir
 from ..partition import (
     GraphBlocks,
     block_edge_source_index,
@@ -97,11 +100,21 @@ def connected_components(
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
+    incremental: bool = False,
+    state_store_dir: str | None = None,
+    n_buckets: int = 256,
 ) -> tuple[DataFrame, list[dict]]:
     """Run CC to convergence; returns (DataFrame[id, component], metrics).
 
     ``vertices`` (optional DataFrame[id]) adds isolated vertices that
     keep their own id as component (singleton rule, SURVEY.md §1.4).
+
+    ``incremental=True`` keeps the state in a BucketedStateStore so the
+    sparse tail rounds rewrite only the touched buckets — O(frontier)
+    per round instead of O(|V|) (engine.run docstring).  The store
+    lives at ``state_store_dir`` (default: ``checkpoint_dir/statestore``
+    when checkpointing, else a fresh local temp dir — pass a shared-FS
+    path on a cluster).
     """
     sym = symmetrize(edges)
     if blocks is None:
@@ -119,6 +132,7 @@ def connected_components(
     )
 
     start_step = 0
+    resume_manifest = None
     if resume_from is not None:
         resumed = engine.resume(resume_from)
     else:
@@ -127,6 +141,13 @@ def connected_components(
         state, frontier, meta = resumed
         start_step = int(meta["superstep"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+        if "manifest" in meta:  # round was committed by the incremental loop
+            incremental = True
+            resume_manifest = meta["manifest"]
+            n_buckets = int(meta.get("n_buckets", n_buckets))
+            state_store_dir = state_store_dir or os.path.join(
+                resume_from, "statestore"
+            )
     else:
         if blocks.vertices_path is not None and vertices is None:
             vset = spark.read.parquet(blocks.vertices_path).select("id")
@@ -153,6 +174,9 @@ def connected_components(
             F.coalesce(F.col("msg") < F.col("value"), F.lit(False)).alias("changed"),
         )
 
+    if incremental and state_store_dir is None:
+        state_store_dir = _default_state_dir(checkpoint_dir, "cc")
+
     state, history = engine.run(
         blocks=blocks,
         state=state,
@@ -173,5 +197,8 @@ def connected_components(
         # in the sparse tail instead of shipping the full topology
         # through Arrow each round.
         prefilter_blocks=True,
+        state_store_dir=state_store_dir if incremental else None,
+        n_buckets=n_buckets,
+        resume_manifest=resume_manifest,
     )
     return state.select("id", F.col("value").alias("component")), history

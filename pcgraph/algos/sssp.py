@@ -13,12 +13,15 @@ global min fold, emit-on-strict-improvement (:173-192).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import PCEngine
+from ..statestore import default_state_dir as _default_state_dir
 from ..partition import (
     ensure_block_store,
     GraphBlocks,
@@ -75,9 +78,17 @@ def sssp(
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
+    incremental: bool = False,
+    state_store_dir: str | None = None,
+    n_buckets: int = 256,
 ) -> tuple[DataFrame, list[dict]]:
     """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
-    metrics).  Unreached vertices have distance +inf."""
+    metrics).  Unreached vertices have distance +inf.
+
+    ``incremental=True``: SSSP is THE wavefront algorithm — most of its
+    ~diameter rounds touch a tiny frontier, so the bucketed incremental
+    state (rewrite only touched buckets) makes those rounds O(frontier)
+    instead of O(|V|) (engine.run docstring)."""
     e = edges.select("src", "dst", "weight")
     if blocks is None:
         if store_dir is not None:
@@ -95,11 +106,19 @@ def sssp(
     )
 
     start_step = 0
+    resume_manifest = None
     resumed = engine.resume(resume_from) if resume_from else None
     if resumed is not None:
         state, frontier, meta = resumed
         start_step = int(meta["superstep"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
+        if "manifest" in meta:  # round was committed by the incremental loop
+            incremental = True
+            resume_manifest = meta["manifest"]
+            n_buckets = int(meta.get("n_buckets", n_buckets))
+            state_store_dir = state_store_dir or os.path.join(
+                resume_from, "statestore"
+            )
     else:
         if blocks.vertices_path is not None and vertices is None:
             vset = spark.read.parquet(blocks.vertices_path).select("id")
@@ -125,6 +144,9 @@ def sssp(
             F.coalesce(F.col("msg") < F.col("value"), F.lit(False)).alias("changed"),
         )
 
+    if incremental and state_store_dir is None:
+        state_store_dir = _default_state_dir(checkpoint_dir, "sssp")
+
     state, history = engine.run(
         blocks=blocks,
         state=state,
@@ -145,5 +167,8 @@ def sssp(
         # a few partitions, so skipping inactive blocks is the
         # difference between O(frontier) and O(|E|) per round.
         prefilter_blocks=True,
+        state_store_dir=state_store_dir if incremental else None,
+        n_buckets=n_buckets,
+        resume_manifest=resume_manifest,
     )
     return state.select("id", F.col("value").alias("distance")), history

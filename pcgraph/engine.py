@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from .iohelpers import fs_exists, fs_list_dirs, read_json, write_json_atomic
 from .partition import GraphBlocks
+from .statestore import BucketedStateStore
 
 META_NAME = "_meta.json"
 
@@ -187,8 +188,24 @@ class PCEngine:
         state_cols: list[str] | None = None,
         pre_superstep: Callable[[int], None] | None = None,
         post_superstep: Callable[[int, dict], None] | None = None,
+        state_store_dir: str | None = None,
+        n_buckets: int = 256,
+        resume_manifest: dict | None = None,
     ) -> tuple[DataFrame, list[dict]]:
         """Iterate to convergence.
+
+        ``state_store_dir`` switches the loop to INCREMENTAL state
+        (BucketedStateStore): the state lives hash-bucketed on disk and
+        each round rewrites only the buckets its messages touch, making
+        sparse-frontier rounds O(frontier) instead of the classic
+        loop's O(|V|) per-round state materialization.  Requirements:
+        the algorithm must be a delta algorithm — ``update`` only
+        changes rows targeted by messages, and ``metrics_exprs`` must
+        be computable over the TOUCHED rows alone (CC/SSSP changed
+        counts qualify; PageRank's full-state L1 does not).  On a
+        cluster the directory must be on shared storage (hdfs/s3a).
+        ``resume_manifest`` (from a committed round's meta) resumes
+        against an existing store.
 
         ``state_cols``: columns to RETAIN in the per-round materialized
         state.  Metric-only columns (e.g. PageRank's prev_pr, consumed
@@ -226,6 +243,14 @@ class PCEngine:
         if not self.aqe_in_loop:
             conf.set("spark.sql.adaptive.enabled", "false")
         try:
+            if state_store_dir is not None:
+                return self._run_loop_incremental(
+                    blocks, state, frontier, kernel, msg_schema, update,
+                    frontier_fn, max_iter, metrics_exprs, metrics_post,
+                    start_step, algorithm, strict, state_cols,
+                    pre_superstep, post_superstep, state_store_dir,
+                    n_buckets, resume_manifest,
+                )
             return self._run_loop(
                 blocks, state, frontier, kernel, msg_schema, update,
                 frontier_fn, max_iter, metrics_fn, metrics_exprs,
@@ -273,33 +298,9 @@ class PCEngine:
             routed = blocks.route(frontier)
 
             kernel_fn = _bind_step(kernel, step) if wants_step else kernel
-            active_partitions = None
-            if blocks.store_path is not None:
-                # Block-store mode: the grouped-map only materializes
-                # groups the frontier touches, and each kernel reads its
-                # own partition's CSR rows worker-side — no JVM cache
-                # scan, no Arrow transfer of the topology, and inactive
-                # partitions are free (prefiltering is structural).
-                msgs = routed.groupby("partition_id").applyInPandas(
-                    _bind_store(kernel_fn, blocks.store_path),
-                    schema=msg_schema,
-                )
-            else:
-                blocks_df = blocks.blocks
-                if prefilter_blocks:
-                    pids = [
-                        r[0]
-                        for r in routed.select("partition_id").distinct().collect()
-                    ]
-                    active_partitions = len(pids)
-                    blocks_df = blocks_df.filter(
-                        F.col("partition_id").isin(pids)
-                    )
-                msgs = (
-                    routed.groupby("partition_id")
-                    .cogroup(blocks_df.groupby("partition_id"))
-                    .applyInPandas(kernel_fn, schema=msg_schema)
-                )
+            msgs, active_partitions = self._messages(
+                blocks, routed, kernel_fn, msg_schema, prefilter_blocks
+            )
             if strict:
                 msgs = msgs.persist()
                 unknown = (
@@ -395,11 +396,214 @@ class PCEngine:
         return state, self.history
 
     # ------------------------------------------------------------------
+    def _messages(
+        self,
+        blocks: GraphBlocks,
+        routed: DataFrame,
+        kernel_fn: Callable,
+        msg_schema: str,
+        prefilter_blocks: bool,
+    ) -> tuple[DataFrame, int | None]:
+        """One superstep's kernel application: routed frontier -> raw
+        messages (shared by the classic and incremental loops)."""
+        active_partitions = None
+        if blocks.store_path is not None:
+            # Block-store mode: the grouped-map only materializes
+            # groups the frontier touches, and each kernel reads its
+            # own partition's CSR rows worker-side — no JVM cache
+            # scan, no Arrow transfer of the topology, and inactive
+            # partitions are free (prefiltering is structural).
+            msgs = routed.groupby("partition_id").applyInPandas(
+                _bind_store(kernel_fn, blocks.store_path),
+                schema=msg_schema,
+            )
+        else:
+            blocks_df = blocks.blocks
+            if prefilter_blocks:
+                pids = [
+                    r[0]
+                    for r in routed.select("partition_id").distinct().collect()
+                ]
+                active_partitions = len(pids)
+                blocks_df = blocks_df.filter(F.col("partition_id").isin(pids))
+            msgs = (
+                routed.groupby("partition_id")
+                .cogroup(blocks_df.groupby("partition_id"))
+                .applyInPandas(kernel_fn, schema=msg_schema)
+            )
+        return msgs, active_partitions
+
+    # ------------------------------------------------------------------
+    def _run_loop_incremental(
+        self,
+        blocks: GraphBlocks,
+        state: DataFrame,
+        frontier: DataFrame | None,
+        kernel: Callable,
+        msg_schema: str,
+        update: Callable[[DataFrame, DataFrame, int], DataFrame],
+        frontier_fn: Callable[[DataFrame], DataFrame],
+        max_iter: int,
+        metrics_exprs: list | None,
+        metrics_post: Callable[[dict, int], dict] | None,
+        start_step: int,
+        algorithm: str,
+        strict: bool,
+        state_cols: list[str] | None,
+        pre_superstep: Callable[[int], None] | None,
+        post_superstep: Callable[[int, dict], None] | None,
+        state_store_dir: str,
+        n_buckets: int,
+        resume_manifest: dict | None,
+    ) -> tuple[DataFrame, list[dict]]:
+        """Delta-algorithm loop over a BucketedStateStore: every round's
+        state read AND write touch only the buckets the messages land
+        in, so a sparse tail round costs O(frontier) — vs the classic
+        loop's O(|V|) per-round checkpoint (PERF.md round-4 target #4).
+
+        Per round: kernel messages (persisted once), one tiny distinct-
+        collect of the messages' dst buckets, a partition-pruned read of
+        exactly those buckets, ``update`` merging messages into them,
+        and a versioned write of only those buckets (the materializing
+        action; any observe rides it).  The next frontier is read back
+        from the just-written version — rows untouched this round can
+        never be in it, which is exactly the changed-set semantics.
+        """
+        store = BucketedStateStore(self.spark, state_store_dir, n_buckets)
+        if resume_manifest is not None:
+            store.restore(resume_manifest)
+            if frontier is None:
+                raise ValueError(
+                    "incremental resume requires the committed round's "
+                    "frontier (engine.resume provides it)"
+                )
+        else:
+            store.init(state, step=start_step)
+            if frontier is None:
+                frontier = frontier_fn(store.read_version(start_step))
+        wants_step = _kernel_wants_step(kernel)
+        step = start_step
+        while step < max_iter:
+            step += 1
+            round_t0 = time.monotonic()
+            if pre_superstep is not None:
+                pre_superstep(step)
+            routed = blocks.route(frontier)
+            kernel_fn = _bind_step(kernel, step) if wants_step else kernel
+            msgs, _ = self._messages(
+                blocks, routed, kernel_fn, msg_schema, prefilter_blocks=False
+            )
+            # The round's FIRST action runs the kernels and caches the
+            # messages; everything after reads the (frontier-sized)
+            # cache — kernels never run twice.
+            msgs = msgs.persist()
+            active_buckets = sorted(
+                r[0]
+                for r in msgs.select(
+                    store.bucket_expr(F.col("dst")).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if strict:
+                unknown = (
+                    msgs.select("dst")
+                    .join(
+                        store.read_full().select(F.col("id").alias("dst")),
+                        on="dst",
+                        how="left_anti",
+                    )
+                    .count()
+                )
+                if unknown:
+                    raise ValueError(
+                        f"Target vertex does not exist! ({unknown} message(s) "
+                        "target ids absent from the vertex set)"
+                    )
+            state_subset = store.read_buckets(active_buckets)
+            if state_subset is None:
+                # no message targets any stored vertex -> nothing can
+                # change; converged by the emit-on-change contract
+                msgs.unpersist()
+                metrics = {
+                    "active": 0,
+                    "superstep": step,
+                    "algorithm": algorithm,
+                    "round_sec": round(time.monotonic() - round_t0, 4),
+                    "active_buckets": 0,
+                }
+                self.history.append(metrics)
+                if post_superstep is not None:
+                    post_superstep(step, metrics)
+                break
+            merged = update(state_subset, msgs, step)
+            obs: Observation | None = None
+            if metrics_exprs:
+                obs = Observation(f"pcgraph_{algorithm}_step{step}")
+                merged = merged.observe(obs, *metrics_exprs)
+            if state_cols is not None:
+                merged = merged.select(*state_cols)
+            merged = merged.withColumn(
+                "bucket", store.bucket_expr(F.col("id"))
+            )
+            store.write_round(merged, step)  # THE materializing action
+            msgs.unpersist()
+            touched = store.read_version(step)
+            new_frontier = frontier_fn(touched)
+            if obs is not None:
+                observed = dict(obs.get)
+                metrics = (
+                    metrics_post(observed, step) if metrics_post else observed
+                )
+            else:
+                metrics = {}
+            if "active" not in metrics:
+                metrics["active"] = new_frontier.count()
+            metrics.update(
+                superstep=step,
+                algorithm=algorithm,
+                round_sec=round(time.monotonic() - round_t0, 4),
+                active_buckets=len(active_buckets),
+            )
+            do_ckpt = (
+                self.checkpoint_dir is not None
+                and step % self.checkpoint_every == 0
+            )
+            if do_ckpt:
+                metrics_meta = dict(metrics)
+                metrics_meta["manifest"] = {
+                    str(b): v for b, v in store.manifest.items()
+                }
+                metrics_meta["n_buckets"] = store.n_buckets
+                self._commit_round(
+                    blocks, step, new_frontier, metrics_meta,
+                    write_state=False,
+                )
+                store.mark_committed()
+            frontier = new_frontier
+            self.history.append(metrics)
+            if post_superstep is not None:
+                post_superstep(step, metrics)
+            if metrics.get("converged") or metrics["active"] == 0:
+                break
+        return store.read_full(), self.history
+
+    # ------------------------------------------------------------------
     def _commit_round(
-        self, blocks: GraphBlocks, step: int, frontier: DataFrame, metrics: dict
+        self,
+        blocks: GraphBlocks,
+        step: int,
+        frontier: DataFrame,
+        metrics: dict,
+        write_state: bool = True,
     ) -> None:
         """Write frontier + meta for a checkpointed round (state already
-        written); the atomic meta rename is the commit marker."""
+        written); the atomic meta rename is the commit marker.
+
+        ``write_state=False`` is the incremental-store mode: the state
+        lives in the BucketedStateStore and the meta's ``manifest``
+        (bucket -> version) IS the state pointer — per-partition lineage
+        without re-copying the state."""
         rdir = _round_dir(self.checkpoint_dir, step)
         frontier.write.mode("overwrite").parquet(
             os.path.join(rdir, "frontier.parquet")
@@ -418,9 +622,10 @@ class PCEngine:
         meta.update(
             committed=True,
             parent_round=parent if parent > 0 else None,
-            state_path=os.path.join(rel, "state.parquet"),
             frontier_path=os.path.join(rel, "frontier.parquet"),
         )
+        if write_state:
+            meta["state_path"] = os.path.join(rel, "state.parquet")
         # Routed through the Hadoop FileSystem API so checkpoint_dir may
         # be hdfs:// / s3a:// on a cluster (north rule: resumable).
         write_json_atomic(self.spark, os.path.join(rdir, META_NAME), meta)
@@ -441,7 +646,12 @@ class PCEngine:
         return best
 
     def resume(self, checkpoint_dir: str) -> tuple[DataFrame, DataFrame, dict] | None:
-        """Load (state, frontier, meta) of the latest committed round."""
+        """Load (state, frontier, meta) of the latest committed round.
+
+        Incremental-store rounds carry a ``manifest`` instead of a
+        ``state_path``; the returned state is the store view at that
+        round (callers pass ``meta['manifest']`` back through
+        ``run(resume_manifest=...)`` to continue incrementally)."""
         meta = self.latest_round(checkpoint_dir, self.spark)
         if meta is None:
             return None
@@ -451,6 +661,15 @@ class PCEngine:
                 return p
             return os.path.join(checkpoint_dir, p)
 
-        state = self.spark.read.parquet(_abspath(meta["state_path"]))
+        if "manifest" in meta:
+            store = BucketedStateStore(
+                self.spark,
+                os.path.join(checkpoint_dir, "statestore"),
+                int(meta.get("n_buckets", 256)),
+            )
+            store.restore(meta["manifest"])
+            state = store.read_full()
+        else:
+            state = self.spark.read.parquet(_abspath(meta["state_path"]))
         frontier = self.spark.read.parquet(_abspath(meta["frontier_path"]))
         return state, frontier, meta

@@ -200,3 +200,105 @@ def test_lsh_cap_releases_banded_cache(spark):
     # localCheckpoint (freed with the result) may remain
     assert after - before <= 1
     assert n >= 0
+
+
+# ------------------------------------------------ incremental state
+def test_incremental_cc_matches_classic(spark, tmp_path):
+    """CC over the bucketed incremental state store must equal the
+    classic full-materialization loop exactly, and tail rounds must
+    touch a shrinking subset of buckets (the O(frontier) property)."""
+    from pcgraph.algos.cc import connected_components
+
+    edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
+    classic, _ = connected_components(spark, edges, num_partitions=4)
+    inc, hist = connected_components(
+        spark, edges, num_partitions=4, incremental=True,
+        state_store_dir=str(tmp_path / "state"), n_buckets=16,
+    )
+    a = {r["id"]: r["component"] for r in classic.collect()}
+    b = {r["id"]: r["component"] for r in inc.collect()}
+    assert a == b
+    assert all("active_buckets" in h for h in hist)
+    # the tail round's messages touch fewer buckets than the full first
+    # round (the O(frontier) property at this tiny scale)
+    assert hist[-1]["active_buckets"] < hist[0]["active_buckets"]
+
+
+def test_incremental_sssp_matches_classic(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from pcgraph.algos.sssp import sssp
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "src": rng.integers(0, 100, size=400),
+            "dst": rng.integers(0, 100, size=400),
+            "weight": rng.uniform(0.1, 5.0, size=400),
+        }
+    ).query("src != dst")
+    edges = fixtures.to_spark_edges(spark, pdf)
+    classic, _ = sssp(spark, edges, source=0, num_partitions=4)
+    inc, hist = sssp(
+        spark, edges, source=0, num_partitions=4, incremental=True,
+        state_store_dir=str(tmp_path / "state"), n_buckets=16,
+    )
+    a = {r["id"]: r["distance"] for r in classic.collect()}
+    b = {r["id"]: r["distance"] for r in inc.collect()}
+    assert set(a) == set(b)
+    # unreachable vertices are +inf in both (inf - inf is nan)
+    assert all(a[k] == b[k] or abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_incremental_checkpoint_resume(spark, tmp_path):
+    """Stop an incremental CC run early (max_iter) and resume from its
+    committed manifest: the continuation must converge to the classic
+    result, picking up mid-iteration with per-bucket lineage."""
+    from pcgraph.algos.cc import connected_components
+
+    edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
+    full, _ = connected_components(spark, edges, num_partitions=4)
+    full_rows = {r["id"]: r["component"] for r in full.collect()}
+
+    ckpt = str(tmp_path / "ckpt")
+    _, h1 = connected_components(
+        spark, edges, num_partitions=4, incremental=True,
+        checkpoint_dir=ckpt, max_iter=2, n_buckets=16,
+    )
+    assert len(h1) == 2
+    import json
+
+    with open(os.path.join(ckpt, "round=00002", "_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["committed"] and "manifest" in meta and "state_path" not in meta
+
+    resumed, h2 = connected_components(
+        spark, edges, num_partitions=4, resume_from=ckpt
+    )
+    assert h2[0]["superstep"] == 3  # continued mid-iteration
+    rows = {r["id"]: r["component"] for r in resumed.collect()}
+    assert rows == full_rows
+
+
+def test_statestore_gc_retires_superseded_versions(spark, tmp_path):
+    """Superseded, no-longer-committed versions are deleted; the
+    current manifest's versions always survive."""
+    from pcgraph.algos.cc import connected_components
+
+    edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
+    sdir = str(tmp_path / "state")
+    _, hist = connected_components(
+        spark, edges, num_partitions=4, incremental=True,
+        state_store_dir=sdir, n_buckets=8,
+    )
+    rounds = len(hist)
+    # every bucket dir still present must be referenced by SOME version
+    # <= rounds; total leftover bucket dirs should be far fewer than
+    # rounds * buckets if GC ran (no-checkpoint mode deletes eagerly)
+    vdirs = [d for d in os.listdir(sdir) if d.startswith("v=")]
+    n_bucket_dirs = sum(
+        len([b for b in os.listdir(os.path.join(sdir, v)) if b.startswith("bucket=")])
+        for v in vdirs
+    )
+    assert n_bucket_dirs <= 8 + rounds  # ~current manifest, not all history
