@@ -103,8 +103,13 @@ def connected_components(
     incremental: bool = False,
     state_store_dir: str | None = None,
     n_buckets: int = 256,
+    strict: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Run CC to convergence; returns (DataFrame[id, component], metrics).
+
+    ``strict=True``: reference-parity missing-vertex check ("Target
+    vertex does not exist!", PartitionCentricIteration.java:216-227) —
+    one anti-join per round against the vertex set.
 
     ``vertices`` (optional DataFrame[id]) adds isolated vertices that
     keep their own id as component (singleton rule, SURVEY.md §1.4).
@@ -197,6 +202,7 @@ def connected_components(
         # in the sparse tail instead of shipping the full topology
         # through Arrow each round.
         prefilter_blocks=True,
+        strict=strict,
         state_store_dir=state_store_dir if incremental else None,
         n_buckets=n_buckets,
         resume_manifest=resume_manifest,

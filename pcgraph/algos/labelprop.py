@@ -42,7 +42,7 @@ def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         {
             "dst": pd.Series(dtype="int64"),
             "label": pd.Series(dtype="int64"),
-            "cnt": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int32"),
         }
     )
     if len(bpdf) == 0 or len(fpdf) == 0:
@@ -68,6 +68,10 @@ def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         return empty
     pairs = pd.DataFrame({"dst": nodes[edst[active]], "label": label[esrc[active]]})
     counts = pairs.groupby(["dst", "label"], sort=False).size().reset_index(name="cnt")
+    # int32 is ample for a per-partition count (bounded by the block's
+    # edge count, itself bounded by CHUNK layout well under 2^31) and
+    # trims the Arrow + shuffle row 24 -> 20 bytes.
+    counts["cnt"] = counts["cnt"].astype("int32")
     return counts
 
 
@@ -84,6 +88,7 @@ def label_propagation(
     resume_from: str | None = None,
     blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
+    post_superstep=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run synchronous LPA; returns (DataFrame[id, label], metrics).
 
@@ -128,8 +133,25 @@ def label_propagation(
             "id", F.col("id").alias("value"), F.lit(True).alias("changed")
         )
 
+    # The kernel already emits per-partition partial histograms (the
+    # pandas groupby above), so Catalyst's map-side combine has nothing
+    # left to fold — letting the two aggregations each plan their own
+    # ENSURE_REQUIREMENTS exchange just moves the full histogram volume
+    # twice (hash(dst,label), then hash(dst)).  One explicit
+    # repartition by dst instead: HashPartitioning(dst) satisfies
+    # ClusteredDistribution(dst,label) AND (dst), so BOTH aggregations
+    # run exchange-free, and the state join reuses the same
+    # partitioning (co-partitioned with the state's hash(id)).  Plan
+    # audited in scripts/explain_lpa_update.py: 2 full-volume
+    # exchanges -> 1.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     def update(state_df, msgs, step):
-        folded = msgs.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
+        folded = (
+            msgs.repartition(n_shuffle, "dst")
+            .groupBy("dst", "label")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         # deterministic arg-max: max count, ties -> smallest label
         best = folded.groupBy("dst").agg(
             F.min(
@@ -164,7 +186,7 @@ def label_propagation(
         state=state,
         frontier=None,
         kernel=lp_kernel,
-        msg_schema="dst long, label long, cnt long",
+        msg_schema="dst long, label long, cnt int",
         update=update,
         frontier_fn=lambda s: s.select("id", "value"),
         metrics_exprs=metrics_exprs,
@@ -172,5 +194,6 @@ def label_propagation(
         max_iter=max_iter,
         start_step=start_step,
         algorithm="label_propagation",
+        post_superstep=post_superstep,
     )
     return state.select("id", F.col("value").alias("label")), history

@@ -151,10 +151,26 @@ class PCEngine:
         checkpoint_every: int = 1,
         partition_metrics: bool | None = None,
         aqe_in_loop: bool = False,
+        checkpoint_storage_level: str | None = None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
+        # Storage level for the per-round state localCheckpoint.  The
+        # default (None -> MEMORY_AND_DISK, deserialized) scans object
+        # rows twice per round (frontier route + merge);
+        # "MEMORY_AND_DISK_SER" stores the checkpoint serialized —
+        # smaller scans at a per-round deser CPU cost (A/B-measured,
+        # docs/PERF.md).  Env override for experiments.
+        if checkpoint_storage_level is None:
+            checkpoint_storage_level = os.environ.get("PCGRAPH_CKPT_LEVEL")
+        self._ckpt_level = None
+        if checkpoint_storage_level:
+            from pyspark import StorageLevel
+
+            self._ckpt_level = getattr(
+                StorageLevel, checkpoint_storage_level
+            )
         if partition_metrics is None:
             partition_metrics = checkpoint_dir is not None
         self.partition_metrics = partition_metrics
@@ -285,7 +301,7 @@ class PCEngine:
         # round's merge pays one state-side shuffle into hash(id)
         # partitioning, every later round inherits it from the previous
         # round's checkpointed merge output (no Exchange, no Sort).
-        state = state.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True, storageLevel=self._ckpt_level)
         if frontier is None:
             frontier = frontier_fn(state)
         wants_step = _kernel_wants_step(kernel)
@@ -355,7 +371,9 @@ class PCEngine:
                 # state-side Exchange/Sort; the opaque plan makes the
                 # message branch's lineage start at an RDD leaf, so no
                 # self-join dedup / no recompute (module docstring).
-                new_state = action_src.localCheckpoint(eager=True)
+                new_state = action_src.localCheckpoint(
+                    eager=True, storageLevel=self._ckpt_level
+                )
 
             if obs is not None:
                 observed = dict(obs.get)
