@@ -89,18 +89,31 @@ def label_propagation(
     blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
     post_superstep=None,
+    agg_partitions: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run synchronous LPA; returns (DataFrame[id, label], metrics).
 
     ``blocks`` (pre-built CSR blocks of the SAME edge orientation this
     call would build — i.e. raw edges when ``directed=True``) skips the
     build's full edge shuffle.
+
+    ``agg_partitions`` sets the parallelism of the per-round histogram
+    fold (default: ``spark.sql.shuffle.partitions``).  Early LPA rounds
+    carry ~one histogram row per edge, and a 32-partition hash aggregate
+    over 600M+ rows spills tens of GB (measured at 316M edges); raising
+    the fold to e.g. 4x shrinks per-task aggregate state at the cost of
+    one small extra exchange of the folded argmax into the state join's
+    partitioning.  Leave default when |E|/partitions fits in memory.
     """
     e = edges.select("src", "dst")
+    raw_both = None
     if not directed:
-        e = e.union(
+        # kept pre-distinct for the superstep-1 strength reduction below
+        # (min is duplicate-insensitive, so the dedup shuffle is skipped)
+        raw_both = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
+        e = raw_both.distinct()
     if blocks is None:
         if store_dir is not None:
             blocks = ensure_block_store(
@@ -145,10 +158,11 @@ def label_propagation(
     # audited in scripts/explain_lpa_update.py: 2 full-volume
     # exchanges -> 1.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    agg_n = int(agg_partitions) if agg_partitions else n_shuffle
 
     def update(state_df, msgs, step):
         folded = (
-            msgs.repartition(n_shuffle, "dst")
+            msgs.repartition(agg_n, "dst")
             .groupBy("dst", "label")
             .agg(F.sum("cnt").alias("cnt"))
         )
@@ -178,6 +192,51 @@ def label_propagation(
     def metrics_post(observed, step):
         changed = int(observed["changed"] or 0)
         return {"active": changed, "changed": changed}
+
+    # Superstep-1 strength reduction (undirected fresh runs): with
+    # identity initialization (label(v)=v) on the deduplicated
+    # symmetrized graph, every (dst, label) count is exactly 1, so the
+    # argmax + smallest-label tie-break collapses to min(src) over the
+    # in-neighbors — a pure JVM aggregation with map-side partial min
+    # over the PRE-distinct edge union (min is duplicate-insensitive).
+    # The generic path would ship one Arrow histogram row per edge out
+    # of the Python kernel and hash-aggregate all of them (measured at
+    # 316M edges: the heaviest round of the run, 25 GB disk spill) to
+    # compute exactly this.  Directed mode keeps the generic path: the
+    # raw edge table may be a multigraph, where duplicate edges
+    # legitimately contribute counts > 1.
+    if resumed is None and not directed and max_iter >= 1:
+        import time as _time
+
+        from pyspark.sql import Observation
+
+        t0 = _time.monotonic()
+        best1 = raw_both.groupBy("dst").agg(F.min("src").alias("new_label"))
+        state1 = (
+            state.select("id", "value")
+            .join(best1, state["id"] == best1["dst"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("value")).alias("value"),
+                F.coalesce(
+                    F.col("new_label") != F.col("value"), F.lit(False)
+                ).alias("changed"),
+            )
+        )
+        obs1 = Observation("pcgraph_label_propagation_step1")
+        state = state1.observe(obs1, *metrics_exprs).localCheckpoint(eager=True)
+        m1 = metrics_post(dict(obs1.get), 1)
+        m1.update(
+            superstep=1,
+            algorithm="label_propagation",
+            round_sec=round(_time.monotonic() - t0, 4),
+        )
+        engine.history.append(m1)
+        if post_superstep is not None:
+            post_superstep(1, m1)
+        start_step = 1
+        if m1["active"] == 0 or max_iter == 1:
+            return state.select("id", F.col("value").alias("label")), engine.history
 
     # Synchronous LPA: every vertex re-evaluates each round, so the
     # frontier is the full state until convergence (unlike CC's delta).
