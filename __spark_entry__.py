@@ -267,11 +267,12 @@ def q_cc_nations(spark, sf_dir):
 
 
 def q_cc_incremental(spark, sf_dir):
-    """Same CC semantics through the INCREMENTAL bucketed-state loop
-    (engine._run_loop_incremental): each round rewrites only the state
-    buckets its messages touch — O(frontier) tail rounds.  Gated by the
-    same oracle as cc_nations; equality proves the partition-wise
-    upsert preserves the classic loop's semantics."""
+    """Same CC semantics through the INCREMENTAL state loop — since r4
+    the delta-version store (engine._run_loop_delta + DeltaStateStore):
+    each round appends ONLY its changed rows as a new version,
+    min-reconciled on read — O(changed) rounds.  Gated by the same
+    oracle as cc_nations; equality proves the versioned min-merge
+    preserves the classic loop's semantics."""
     import tempfile
 
     from pcgraph.algos.cc import connected_components
@@ -290,8 +291,9 @@ def q_cc_incremental(spark, sf_dir):
 
 
 def q_sssp_incremental(spark, sf_dir):
-    """SSSP through the incremental bucketed-state loop (the wavefront
-    algorithm the O(frontier) rounds exist for); same oracle as
+    """SSSP through the incremental state loop — since r4 the
+    delta-version store (O(changed) appends, min-reconciled reads; the
+    wavefront algorithm those rounds exist for); same oracle as
     sssp_nations."""
     import tempfile
 

@@ -147,6 +147,12 @@ def main() -> None:
     timings["sssp"] = round(time.monotonic() - t0, 3)
     extras["sssp_supersteps"] = len(sp_hist)
     extras["sssp_active_per_round"] = [h["active"] for h in sp_hist]
+    # New query in r4 (no r3 baseline): deliberately timed through the
+    # incremental store — at toy SF the fixed per-round parquet round-trip
+    # dominates (~2s/round); the mode exists for sparse tails at scale,
+    # where rounds cost O(frontier) instead of O(|V|)
+    # (BENCH/sssp_inc_316m_r4.json).
+    extras["sssp_mode"] = "incremental_state_store"
 
     t0 = time.monotonic()
     lp, _ = label_propagation(

@@ -81,6 +81,8 @@ def sssp(
     incremental: bool = False,
     state_store_dir: str | None = None,
     n_buckets: int = 256,
+    max_versions: int = 8,
+    delta: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
     metrics).  Unreached vertices have distance +inf.
@@ -170,5 +172,11 @@ def sssp(
         state_store_dir=state_store_dir if incremental else None,
         n_buckets=n_buckets,
         resume_manifest=resume_manifest,
+        # CC/SSSP merge = min-fold + strict improvement: the exact
+        # contract the delta-version store needs (engine.run docstring).
+        # delta=False falls back to the bucket-rewrite incremental loop
+        # (kept for A/B benchmarking; delta is strictly O(changed)).
+        monotone="min" if delta else None,
+        max_versions=max_versions,
     )
     return state.select("id", F.col("value").alias("distance")), history

@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from .iohelpers import fs_exists, fs_list_dirs, read_json, write_json_atomic
 from .partition import GraphBlocks
-from .statestore import BucketedStateStore
+from .statestore import BucketedStateStore, DeltaStateStore
 
 META_NAME = "_meta.json"
 
@@ -156,21 +156,24 @@ class PCEngine:
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
-        # Storage level for the per-round state localCheckpoint.  The
-        # default (None -> MEMORY_AND_DISK, deserialized) scans object
-        # rows twice per round (frontier route + merge);
-        # "MEMORY_AND_DISK_SER" stores the checkpoint serialized —
-        # smaller scans at a per-round deser CPU cost (A/B-measured,
-        # docs/PERF.md).  Env override for experiments.
+        # Storage level for the per-round state localCheckpoint.
+        # Default: "MEMORY_AND_DISK" — PySpark's SERIALIZED level.  The
+        # state is scanned twice per round (frontier route + merge), and
+        # the A/B at 316M edges (BENCH/pr_steady_316m_r4.json) measured
+        # the deserialized default re-reading 7.4 GB of spilled object
+        # rows per round (object form overflows the storage pool) vs
+        # 0.87 GB serialized, with 8x less GC and the best wall time —
+        # and at cluster scale compact state is what keeps 10^9-vertex
+        # checkpoints memory-resident.  Override with
+        # PCGRAPH_CKPT_LEVEL=MEMORY_AND_DISK_DESER (or any StorageLevel
+        # name) to trade memory for the deser CPU back.
         if checkpoint_storage_level is None:
-            checkpoint_storage_level = os.environ.get("PCGRAPH_CKPT_LEVEL")
-        self._ckpt_level = None
-        if checkpoint_storage_level:
-            from pyspark import StorageLevel
-
-            self._ckpt_level = getattr(
-                StorageLevel, checkpoint_storage_level
+            checkpoint_storage_level = os.environ.get(
+                "PCGRAPH_CKPT_LEVEL", "MEMORY_AND_DISK"
             )
+        from pyspark import StorageLevel
+
+        self._ckpt_level = getattr(StorageLevel, checkpoint_storage_level)
         if partition_metrics is None:
             partition_metrics = checkpoint_dir is not None
         self.partition_metrics = partition_metrics
@@ -207,8 +210,26 @@ class PCEngine:
         state_store_dir: str | None = None,
         n_buckets: int = 256,
         resume_manifest: dict | None = None,
+        monotone: str | None = None,
+        delta_broadcast_rows: int = 1_000_000,
+        max_versions: int = 8,
     ) -> tuple[DataFrame, list[dict]]:
         """Iterate to convergence.
+
+        ``monotone`` ("min" or "max") with ``state_store_dir`` switches
+        to the DELTA-VERSION incremental loop: the algorithm's merge
+        must be exactly "fold messages per dst with min (resp. max),
+        keep on strict improvement" over state rows ``(id, value,
+        changed)`` and messages ``(dst, msg)`` — CC's min-label and
+        SSSP's min-distance qualify.  In that mode ``update`` and
+        ``frontier_fn`` are bypassed after initialization (the engine
+        applies the monotone merge itself) and each round writes ONLY
+        its changed rows (O(changed)) as a new store version, with
+        min-reconciliation on read and per-bucket compaction
+        (``max_versions``) bounding read amplification.  ``delta_
+        broadcast_rows``: folded-message count at or below which the
+        improvement join broadcasts the messages (sparse rounds scan
+        the touched buckets once, shuffle-free).
 
         ``state_store_dir`` switches the loop to INCREMENTAL state
         (BucketedStateStore): the state lives hash-bucketed on disk and
@@ -260,6 +281,21 @@ class PCEngine:
             conf.set("spark.sql.adaptive.enabled", "false")
         try:
             if state_store_dir is not None:
+                # A scalar-valued resume manifest (bucket -> version) is a
+                # legacy bucket-rewrite checkpoint; list-valued is delta.
+                legacy_manifest = resume_manifest is not None and any(
+                    not isinstance(v, (list, tuple))
+                    for v in resume_manifest.values()
+                )
+                if monotone is not None and not legacy_manifest:
+                    return self._run_loop_delta(
+                        blocks, state, frontier, kernel, msg_schema,
+                        frontier_fn, max_iter, metrics_exprs, metrics_post,
+                        start_step, algorithm, strict, pre_superstep,
+                        post_superstep, state_store_dir, n_buckets,
+                        resume_manifest, monotone, delta_broadcast_rows,
+                        max_versions, prefilter_blocks,
+                    )
                 return self._run_loop_incremental(
                     blocks, state, frontier, kernel, msg_schema, update,
                     frontier_fn, max_iter, metrics_exprs, metrics_post,
@@ -607,6 +643,215 @@ class PCEngine:
         return store.read_full(), self.history
 
     # ------------------------------------------------------------------
+    def _run_loop_delta(
+        self,
+        blocks: GraphBlocks,
+        state: DataFrame,
+        frontier: DataFrame | None,
+        kernel: Callable,
+        msg_schema: str,
+        frontier_fn: Callable[[DataFrame], DataFrame],
+        max_iter: int,
+        metrics_exprs: list | None,
+        metrics_post: Callable[[dict, int], dict] | None,
+        start_step: int,
+        algorithm: str,
+        strict: bool,
+        pre_superstep: Callable[[int], None] | None,
+        post_superstep: Callable[[int, dict], None] | None,
+        state_store_dir: str,
+        n_buckets: int,
+        resume_manifest: dict | None,
+        monotone: str,
+        delta_broadcast_rows: int,
+        max_versions: int,
+        prefilter_blocks: bool = False,
+    ) -> tuple[DataFrame, list[dict]]:
+        """Monotone delta loop over a DeltaStateStore: each round writes
+        ONLY its changed rows — O(changed), not O(touched buckets).
+
+        Per round: kernel messages folded per dst (min/max — ONE small
+        aggregate, persisted, its count is the kernel-running action),
+        a scan of the touched buckets' versions joined against the
+        folded messages (broadcast when the fold is small: sparse
+        rounds never shuffle state), strict-improvement filter, and an
+        append-only write of the improvements as a new store version —
+        which doubles as the next frontier.  Reads reconcile duplicate
+        ids with the same min the algorithm folds with, so ordering is
+        immaterial; compaction keeps per-bucket version lists bounded.
+        """
+        store = DeltaStateStore(
+            self.spark, state_store_dir, n_buckets,
+            max_versions=max_versions, monotone=monotone,
+        )
+        fold = F.min if monotone == "min" else F.max
+        if resume_manifest is not None:
+            store.restore(resume_manifest)
+            if frontier is None:
+                raise ValueError(
+                    "incremental resume requires the committed round's "
+                    "frontier (engine.resume provides it)"
+                )
+        else:
+            store.init(state)  # v0 = full state (incl. changed for frontier_fn)
+            if frontier is None:
+                frontier = frontier_fn(store.read_version(0))
+        wants_step = _kernel_wants_step(kernel)
+        empty_frontier = self.spark.createDataFrame(
+            [], "id long, value double"
+        )
+        step = start_step
+        while step < max_iter:
+            step += 1
+            round_t0 = time.monotonic()
+            if pre_superstep is not None:
+                pre_superstep(step)
+            routed = blocks.route(frontier)
+            kernel_fn = _bind_step(kernel, step) if wants_step else kernel
+            msgs, _ = self._messages(
+                blocks, routed, kernel_fn, msg_schema,
+                prefilter_blocks=prefilter_blocks,
+            )
+            folded = (
+                msgs.groupBy("dst").agg(fold("msg").alias("msg")).persist()
+            )
+            n_msgs = folded.count()  # runs the kernels exactly once
+            if n_msgs == 0:
+                folded.unpersist()
+                metrics = {
+                    "active": 0,
+                    "superstep": step,
+                    "algorithm": algorithm,
+                    "round_sec": round(time.monotonic() - round_t0, 4),
+                    "active_buckets": 0,
+                }
+                self.history.append(metrics)
+                if post_superstep is not None:
+                    post_superstep(step, metrics)
+                break
+            active_buckets = sorted(
+                r[0]
+                for r in folded.select(
+                    store.bucket_expr(F.col("dst")).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if strict:
+                all_ids = store.read_buckets_raw(sorted(store.manifest))
+                unknown = (
+                    folded.select("dst")
+                    .join(
+                        all_ids.select(F.col("id").alias("dst")),
+                        on="dst",
+                        how="left_anti",
+                    )
+                    .count()
+                )
+                if unknown:
+                    raise ValueError(
+                        f"Target vertex does not exist! ({unknown} message(s) "
+                        "target ids absent from the vertex set)"
+                    )
+            raw = store.read_buckets_raw(active_buckets)
+            if raw is None:
+                # no message targets any stored vertex -> nothing changes
+                folded.unpersist()
+                metrics = {
+                    "active": 0,
+                    "superstep": step,
+                    "algorithm": algorithm,
+                    "round_sec": round(time.monotonic() - round_t0, 4),
+                    "active_buckets": 0,
+                }
+                self.history.append(metrics)
+                if post_superstep is not None:
+                    post_superstep(step, metrics)
+                break
+            fol = (
+                F.broadcast(folded)
+                if n_msgs <= delta_broadcast_rows
+                else folded
+            )
+            cand = raw.join(fol, raw["id"] == fol["dst"], "inner")
+            cur = cand.groupBy("id").agg(
+                fold("value").alias("value"), fold("msg").alias("msg")
+            )
+            improved = (
+                F.col("msg") < F.col("value")
+                if monotone == "min"
+                else F.col("msg") > F.col("value")
+            )
+            delta = cur.filter(improved).select(
+                "id",
+                F.col("msg").alias("value"),
+                F.lit(True).alias("changed"),
+            )
+            obs = Observation(f"pcgraph_{algorithm}_step{step}")
+            exprs = metrics_exprs or [F.count(F.lit(1)).alias("changed")]
+            delta = (
+                delta.observe(obs, *exprs)
+                .select("id", "value")
+                .withColumn("bucket", store.bucket_expr(F.col("id")))
+            )
+            vid = store.write_delta(  # THE materializing action
+                delta,
+                num_partitions=min(
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                    len(active_buckets),
+                ),
+            )
+            folded.unpersist()
+            observed = dict(obs.get)
+            if metrics_exprs:
+                metrics = (
+                    metrics_post(observed, step) if metrics_post else observed
+                )
+            else:
+                metrics = {"active": int(observed["changed"] or 0)}
+            if "active" not in metrics:
+                metrics["active"] = int(observed.get("changed") or 0)
+            metrics.update(
+                superstep=step,
+                algorithm=algorithm,
+                round_sec=round(time.monotonic() - round_t0, 4),
+                active_buckets=len(active_buckets),
+                store_version=vid,
+            )
+            # protect the round's delta: its rows are the next frontier,
+            # read lazily below — compaction must not fold/delete it
+            compacted = store.compact(protect=vid)
+            if compacted:
+                metrics["compacted_buckets"] = len(compacted)
+            new_frontier = (
+                store.read_version(vid)
+                if metrics["active"]
+                else empty_frontier
+            )
+            do_ckpt = (
+                self.checkpoint_dir is not None
+                and step % self.checkpoint_every == 0
+            )
+            if do_ckpt:
+                metrics_meta = dict(metrics)
+                metrics_meta["manifest"] = {
+                    str(b): list(vs) for b, vs in store.manifest.items()
+                }
+                metrics_meta["n_buckets"] = store.n_buckets
+                self._commit_round(
+                    blocks, step, new_frontier, metrics_meta,
+                    write_state=False,
+                )
+                store.mark_committed()
+            frontier = new_frontier
+            self.history.append(metrics)
+            if post_superstep is not None:
+                post_superstep(step, metrics)
+            if metrics.get("converged") or metrics["active"] == 0:
+                break
+        return store.read_reconciled(), self.history
+
+    # ------------------------------------------------------------------
     def _commit_round(
         self,
         blocks: GraphBlocks,
@@ -680,13 +925,23 @@ class PCEngine:
             return os.path.join(checkpoint_dir, p)
 
         if "manifest" in meta:
-            store = BucketedStateStore(
-                self.spark,
-                os.path.join(checkpoint_dir, "statestore"),
-                int(meta.get("n_buckets", 256)),
-            )
-            store.restore(meta["manifest"])
-            state = store.read_full()
+            mf = meta["manifest"]
+            if any(isinstance(v, (list, tuple)) for v in mf.values()):
+                dstore = DeltaStateStore(
+                    self.spark,
+                    os.path.join(checkpoint_dir, "statestore"),
+                    int(meta.get("n_buckets", 256)),
+                )
+                dstore.restore(mf)
+                state = dstore.read_reconciled()
+            else:
+                store = BucketedStateStore(
+                    self.spark,
+                    os.path.join(checkpoint_dir, "statestore"),
+                    int(meta.get("n_buckets", 256)),
+                )
+                store.restore(mf)
+                state = store.read_full()
         else:
             state = self.spark.read.parquet(_abspath(meta["state_path"]))
         frontier = self.spark.read.parquet(_abspath(meta["frontier_path"]))

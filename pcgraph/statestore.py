@@ -183,3 +183,200 @@ class BucketedStateStore:
         for path in self._retired:
             fs_delete(self.spark, path)
         self._retired = []
+
+
+class DeltaStateStore:
+    """Versioned hash-bucketed state for MONOTONE delta algorithms —
+    per-round writes are O(changed rows), not O(touched buckets).
+
+    The bucket-rewrite model above (``BucketedStateStore``) makes a
+    round O(rows in touched buckets): messages from even a ~1k-row
+    frontier hash into every bucket, so mid-tail rounds still shuffle
+    and rewrite nearly the whole state (measured at 316M edges:
+    15.5 s/round at 173 active vertices, BENCH/sssp_inc_316m_r4.json
+    tag=bucket-rewrite).  When the algorithm's merge is an associative
+    MIN (CC's component label, SSSP's distance), full-bucket rewrites
+    are unnecessary: a round may append ONLY its changed rows as a new
+    version, and any read reconciles duplicates with ``min(value)`` per
+    id — the same merge the algorithm would have applied, in any order.
+
+      * layout: ``root/v={vid}/bucket={b}/*.parquet``; version ids are
+        store-allocated monotone ints (v0 = the full initial state,
+        later vids = per-round deltas or compactions);
+      * manifest: bucket -> ORDERED list of versions holding rows of
+        that bucket; the current value of an id is the min across all
+        its rows in those versions;
+      * compaction: when a bucket's version list exceeds
+        ``max_versions``, its versions are folded (min per id) into one
+        new version — bounding read amplification at max_versions
+        while keeping every round's write O(changed);
+      * crash safety / commit protocol: identical to
+        ``BucketedStateStore`` (append-only dirs, manifest persisted in
+        round meta, superseded dirs swept only after the next commit).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 256,
+        max_versions: int = 8,
+        monotone: str = "min",
+    ):
+        if monotone not in ("min", "max"):
+            raise ValueError(f"monotone must be 'min' or 'max', got {monotone!r}")
+        self.spark = spark
+        self.root = root
+        self.n_buckets = int(n_buckets)
+        self.max_versions = int(max_versions)
+        self.monotone = monotone
+        # bucket -> ordered version list (the current state view)
+        self.manifest: dict[int, list[int]] = {}
+        self.committed: dict[int, list[int]] = {}
+        self._retired: list[str] = []
+        self._next_vid = 0
+
+    # -- shared layout helpers ----------------------------------------
+    bucket_expr = BucketedStateStore.bucket_expr
+    _vdir = BucketedStateStore._vdir
+    _bdir = BucketedStateStore._bdir
+    _written_buckets = BucketedStateStore._written_buckets
+
+    def _agg(self, col):
+        return F.min(col) if self.monotone == "min" else F.max(col)
+
+    # ------------------------------------------------------------------
+    def init(self, state: DataFrame) -> int:
+        """Write the full initial state as version 0 (the run's one
+        O(|V|) write) and seed the manifest."""
+        fs_delete(self.spark, self.root)
+        (
+            state.withColumn("bucket", self.bucket_expr(F.col("id")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._vdir(0))
+        )
+        self.manifest = {b: [0] for b in self._written_buckets(0)}
+        self._next_vid = 1
+        return 0
+
+    def restore(self, manifest: dict) -> None:
+        """Adopt a committed manifest (resume): bucket -> version list."""
+        self.manifest = {
+            int(b): [int(v) for v in vs] for b, vs in manifest.items()
+        }
+        self.committed = {b: list(vs) for b, vs in self.manifest.items()}
+        self._next_vid = (
+            max((v for vs in self.manifest.values() for v in vs), default=-1)
+            + 1
+        )
+
+    # ------------------------------------------------------------------
+    def read_buckets_raw(self, buckets: list[int]) -> DataFrame | None:
+        """ALL rows of the given buckets across their versions — an id
+        may appear once per version it changed in; callers reconcile
+        with ``min(value)`` (or get it via ``read_reconciled``)."""
+        paths = [
+            self._bdir(v, b)
+            for b in buckets
+            if b in self.manifest
+            for v in self.manifest[b]
+        ]
+        if not paths:
+            return None
+        return (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*paths)
+            .select("id", "value")
+        )
+
+    def read_reconciled(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current (id, value) state — min per id across versions."""
+        if buckets is None:
+            buckets = sorted(self.manifest)
+        raw = self.read_buckets_raw(buckets)
+        if raw is None:
+            return self.spark.createDataFrame([], "id long, value double")
+        return raw.groupBy("id").agg(self._agg("value").alias("value"))
+
+    def read_version(self, vid: int) -> DataFrame:
+        return self.spark.read.parquet(self._vdir(vid)).drop("bucket")
+
+    # ------------------------------------------------------------------
+    def write_delta(self, delta: DataFrame, num_partitions: int | None = None) -> int:
+        """Append one round's CHANGED rows (must carry a ``bucket``
+        column) as a new version — O(changed) bytes written.  Returns
+        the version id (its rows are the round's frontier)."""
+        vid = self._next_vid
+        self._next_vid += 1
+        if num_partitions is None:
+            num_partitions = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        (
+            delta.repartition(num_partitions, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._vdir(vid))
+        )
+        for b in self._written_buckets(vid):
+            self.manifest.setdefault(b, []).append(vid)
+        return vid
+
+    def compact(self, protect: int | None = None) -> list[int]:
+        """Fold the versions of every bucket whose list exceeds
+        ``max_versions`` into one new consolidated version (min per id).
+        Bounds read amplification; cost is O(rows in those buckets),
+        amortized O(|changed|/max_versions) per round.  Returns the
+        compacted bucket ids.
+
+        ``protect``: a version id to EXCLUDE from folding and deletion —
+        the engine passes the round's just-written delta, whose rows are
+        the next frontier and are read lazily after compaction (folding
+        it would delete the files out from under that read).  Duplicate
+        coverage is harmless: reconciliation is the same min the fold
+        uses, so a protected version overlapping the consolidated one
+        changes no value."""
+        over = [
+            b
+            for b, vs in self.manifest.items()
+            if len([v for v in vs if v != protect]) > self.max_versions
+        ]
+        if not over:
+            return []
+        paths = [
+            self._bdir(v, b)
+            for b in over
+            for v in self.manifest[b]
+            if v != protect
+        ]
+        merged = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*paths)
+            .select("id", "value")
+            .groupBy("id")
+            .agg(self._agg("value").alias("value"))
+            .withColumn("bucket", self.bucket_expr(F.col("id")))
+        )
+        vid = self.write_delta(merged)
+        for b in over:
+            old = [v for v in self.manifest[b] if v not in (vid, protect)]
+            self.manifest[b] = [vid] + (
+                [protect] if protect in self.manifest[b] else []
+            )
+            for v in old:
+                path = self._bdir(v, b)
+                if v in self.committed.get(b, []):
+                    self._retired.append(path)  # swept at the next commit
+                else:
+                    fs_delete(self.spark, path)
+        return over
+
+    def mark_committed(self) -> None:
+        """Current manifest persisted in a round meta — sweep per-bucket
+        dirs retired by compaction while the previous commit still
+        referenced them."""
+        self.committed = {b: list(vs) for b, vs in self.manifest.items()}
+        for path in self._retired:
+            fs_delete(self.spark, path)
+        self._retired = []

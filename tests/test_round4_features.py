@@ -203,17 +203,19 @@ def test_lsh_cap_releases_banded_cache(spark):
 
 
 # ------------------------------------------------ incremental state
-def test_incremental_cc_matches_classic(spark, tmp_path):
-    """CC over the bucketed incremental state store must equal the
-    classic full-materialization loop exactly, and tail rounds must
-    touch a shrinking subset of buckets (the O(frontier) property)."""
+@pytest.mark.parametrize("delta", [True, False], ids=["delta", "bucket-rewrite"])
+def test_incremental_cc_matches_classic(spark, tmp_path, delta):
+    """CC over the incremental state store (both models: delta-version
+    appends and bucket rewrites) must equal the classic
+    full-materialization loop exactly, and tail rounds must touch a
+    shrinking subset of buckets (the O(frontier) property)."""
     from pcgraph.algos.cc import connected_components
 
     edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
     classic, _ = connected_components(spark, edges, num_partitions=4)
     inc, hist = connected_components(
         spark, edges, num_partitions=4, incremental=True,
-        state_store_dir=str(tmp_path / "state"), n_buckets=16,
+        state_store_dir=str(tmp_path / "state"), n_buckets=16, delta=delta,
     )
     a = {r["id"]: r["component"] for r in classic.collect()}
     b = {r["id"]: r["component"] for r in inc.collect()}
@@ -224,7 +226,8 @@ def test_incremental_cc_matches_classic(spark, tmp_path):
     assert hist[-1]["active_buckets"] < hist[0]["active_buckets"]
 
 
-def test_incremental_sssp_matches_classic(spark, tmp_path):
+@pytest.mark.parametrize("delta", [True, False], ids=["delta", "bucket-rewrite"])
+def test_incremental_sssp_matches_classic(spark, tmp_path, delta):
     import numpy as np
     import pandas as pd
 
@@ -242,7 +245,7 @@ def test_incremental_sssp_matches_classic(spark, tmp_path):
     classic, _ = sssp(spark, edges, source=0, num_partitions=4)
     inc, hist = sssp(
         spark, edges, source=0, num_partitions=4, incremental=True,
-        state_store_dir=str(tmp_path / "state"), n_buckets=16,
+        state_store_dir=str(tmp_path / "state"), n_buckets=16, delta=delta,
     )
     a = {r["id"]: r["distance"] for r in classic.collect()}
     b = {r["id"]: r["distance"] for r in inc.collect()}
@@ -281,9 +284,11 @@ def test_incremental_checkpoint_resume(spark, tmp_path):
     assert rows == full_rows
 
 
-def test_statestore_gc_retires_superseded_versions(spark, tmp_path):
-    """Superseded, no-longer-committed versions are deleted; the
-    current manifest's versions always survive."""
+def test_statestore_delta_writes_are_o_changed(spark, tmp_path):
+    """Delta-version model: a round appends ONLY its changed rows, so
+    total stored rows are |V| (v0) + Σ changed — NOT rounds × |V|."""
+    import duckdb
+
     from pcgraph.algos.cc import connected_components
 
     edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
@@ -292,16 +297,41 @@ def test_statestore_gc_retires_superseded_versions(spark, tmp_path):
         spark, edges, num_partitions=4, incremental=True,
         state_store_dir=sdir, n_buckets=8,
     )
-    rounds = len(hist)
-    # every bucket dir still present must be referenced by SOME version
-    # <= rounds; total leftover bucket dirs should be far fewer than
-    # rounds * buckets if GC ran (no-checkpoint mode deletes eagerly)
-    vdirs = [d for d in os.listdir(sdir) if d.startswith("v=")]
-    n_bucket_dirs = sum(
-        len([b for b in os.listdir(os.path.join(sdir, v)) if b.startswith("bucket=")])
-        for v in vdirs
+    total_changed = sum(h["active"] for h in hist)
+    stored = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sdir}/v=*/bucket=*/*.parquet')"
+    ).fetchone()[0]
+    assert stored == 200 + total_changed
+
+
+def test_statestore_delta_compaction_bounds_versions(spark, tmp_path):
+    """max_versions=1 forces compaction every round: per-bucket version
+    lists stay bounded, retired dirs are deleted (no-checkpoint mode
+    sweeps eagerly), and the result is still exact."""
+    from pcgraph.algos.cc import connected_components
+    from pcgraph.engine import PCEngine  # noqa: F401  (import sanity)
+
+    edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
+    classic, _ = connected_components(spark, edges, num_partitions=4)
+    sdir = str(tmp_path / "state")
+    inc, hist = connected_components(
+        spark, edges, num_partitions=4, incremental=True,
+        state_store_dir=sdir, n_buckets=8, max_versions=1,
     )
-    assert n_bucket_dirs <= 8 + rounds  # ~current manifest, not all history
+    a = {r["id"]: r["component"] for r in classic.collect()}
+    b = {r["id"]: r["component"] for r in inc.collect()}
+    assert a == b
+    assert any(h.get("compacted_buckets") for h in hist)
+    # every bucket's surviving version count is <= max_versions + the
+    # one in-flight delta a compaction may not yet have folded
+    per_bucket: dict[str, int] = {}
+    for v in os.listdir(sdir):
+        if not v.startswith("v="):
+            continue
+        for bdir in os.listdir(os.path.join(sdir, v)):
+            if bdir.startswith("bucket="):
+                per_bucket[bdir] = per_bucket.get(bdir, 0) + 1
+    assert per_bucket and max(per_bucket.values()) <= 2
 
 
 # ------------------------------------------------ LPA single-shuffle fold
