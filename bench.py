@@ -134,25 +134,23 @@ def main() -> None:
     timings["cc"] = round(time.monotonic() - t0, 3)
     extras["cc_supersteps"] = len(cc_hist)
 
-    # weighted SSSP from the smallest vertex id, through the INCREMENTAL
-    # bucketed state store (tail rounds rewrite only touched buckets)
+    # weighted SSSP from the smallest vertex id — classic loop: at toy
+    # SF the in-memory state checkpoint is the right plan (the
+    # incremental delta store's fixed per-round parquet round-trip
+    # dominates below ~10M vertices; its O(changed) rounds are
+    # A/B-evidenced at 316M edges in BENCH/sssp_inc_316m_r4.json).
+    # New query in r4 — no r3 baseline.
     source = edges.agg(F.min("src")).collect()[0][0]
     t0 = time.monotonic()
     sp, sp_hist = sssp(
         spark, edges, source=int(source), num_partitions=num_partitions,
-        blocks=blocks_w, incremental=True,
-        state_store_dir=f"/tmp/pcgraph_bench_sssp_state_sf{sf}",
+        blocks=blocks_w,
     )
     sp.count()
     timings["sssp"] = round(time.monotonic() - t0, 3)
     extras["sssp_supersteps"] = len(sp_hist)
     extras["sssp_active_per_round"] = [h["active"] for h in sp_hist]
-    # New query in r4 (no r3 baseline): deliberately timed through the
-    # incremental store — at toy SF the fixed per-round parquet round-trip
-    # dominates (~2s/round); the mode exists for sparse tails at scale,
-    # where rounds cost O(frontier) instead of O(|V|)
-    # (BENCH/sssp_inc_316m_r4.json).
-    extras["sssp_mode"] = "incremental_state_store"
+    extras["sssp_mode"] = "classic"
 
     t0 = time.monotonic()
     lp, _ = label_propagation(
