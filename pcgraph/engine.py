@@ -819,8 +819,13 @@ class PCEngine:
                 store_version=vid,
             )
             # protect the round's delta: its rows are the next frontier,
-            # read lazily below — compaction must not fold/delete it
-            compacted = store.compact(protect=vid)
+            # read lazily below — compaction must not fold/delete it.
+            # Stagger to n_buckets/4 per round so a full-frontier phase
+            # (every bucket over budget at once) doesn't pay a
+            # full-state rewrite in a single round.
+            compacted = store.compact(
+                protect=vid, max_buckets=max(1, n_buckets // 4)
+            )
             if compacted:
                 metrics["compacted_buckets"] = len(compacted)
             new_frontier = (

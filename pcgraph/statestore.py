@@ -323,7 +323,9 @@ class DeltaStateStore:
             self.manifest.setdefault(b, []).append(vid)
         return vid
 
-    def compact(self, protect: int | None = None) -> list[int]:
+    def compact(
+        self, protect: int | None = None, max_buckets: int | None = None
+    ) -> list[int]:
         """Fold the versions of every bucket whose list exceeds
         ``max_versions`` into one new consolidated version (min per id).
         Bounds read amplification; cost is O(rows in those buckets),
@@ -336,7 +338,16 @@ class DeltaStateStore:
         it would delete the files out from under that read).  Duplicate
         coverage is harmless: reconciliation is the same min the fold
         uses, so a protected version overlapping the consolidated one
-        changes no value."""
+        changes no value.
+
+        ``max_buckets`` staggers the work: when a full-frontier phase
+        pushes EVERY bucket over budget in the same round, folding them
+        all at once is a full-state rewrite spiking that round (measured
+        +50% at 316M edges, BENCH/sssp_inc_316m_r4.json rounds 9-11);
+        capping to n_buckets/4 per round spreads the same work over ~4
+        rounds while version lists stay bounded at ~max_versions + the
+        stagger depth.  Most-over-budget buckets are folded first
+        (deterministic)."""
         over = [
             b
             for b, vs in self.manifest.items()
@@ -344,6 +355,10 @@ class DeltaStateStore:
         ]
         if not over:
             return []
+        if max_buckets is not None and len(over) > max_buckets:
+            over = sorted(
+                over, key=lambda b: (-len(self.manifest[b]), b)
+            )[:max_buckets]
         paths = [
             self._bdir(v, b)
             for b in over

@@ -307,23 +307,25 @@ def test_statestore_delta_writes_are_o_changed(spark, tmp_path):
 def test_statestore_delta_compaction_bounds_versions(spark, tmp_path):
     """max_versions=1 forces compaction every round: per-bucket version
     lists stay bounded, retired dirs are deleted (no-checkpoint mode
-    sweeps eagerly), and the result is still exact."""
+    sweeps eagerly), and the result is still exact.  Compaction is
+    STAGGERED (n_buckets/4 buckets per round) so the bound is
+    max_versions + the stagger depth + the protected in-flight delta,
+    not max_versions itself."""
     from pcgraph.algos.cc import connected_components
     from pcgraph.engine import PCEngine  # noqa: F401  (import sanity)
 
     edges = fixtures.to_spark_edges(spark, fixtures.odd_even_graph(n=200))
     classic, _ = connected_components(spark, edges, num_partitions=4)
     sdir = str(tmp_path / "state")
+    n_buckets, max_versions = 8, 1
     inc, hist = connected_components(
         spark, edges, num_partitions=4, incremental=True,
-        state_store_dir=sdir, n_buckets=8, max_versions=1,
+        state_store_dir=sdir, n_buckets=n_buckets, max_versions=max_versions,
     )
     a = {r["id"]: r["component"] for r in classic.collect()}
     b = {r["id"]: r["component"] for r in inc.collect()}
     assert a == b
     assert any(h.get("compacted_buckets") for h in hist)
-    # every bucket's surviving version count is <= max_versions + the
-    # one in-flight delta a compaction may not yet have folded
     per_bucket: dict[str, int] = {}
     for v in os.listdir(sdir):
         if not v.startswith("v="):
@@ -331,7 +333,9 @@ def test_statestore_delta_compaction_bounds_versions(spark, tmp_path):
         for bdir in os.listdir(os.path.join(sdir, v)):
             if bdir.startswith("bucket="):
                 per_bucket[bdir] = per_bucket.get(bdir, 0) + 1
-    assert per_bucket and max(per_bucket.values()) <= 2
+    stagger_depth = n_buckets // max(1, n_buckets // 4)
+    assert per_bucket
+    assert max(per_bucket.values()) <= max_versions + stagger_depth + 1
 
 
 # ------------------------------------------------ LPA single-shuffle fold
