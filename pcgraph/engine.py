@@ -685,6 +685,17 @@ class PCEngine:
             max_versions=max_versions, monotone=monotone,
         )
         fold = F.min if monotone == "min" else F.max
+        # Canonicalize the VALUE type to what every LATER version will
+        # hold: delta rows carry the folded message as `value`, so v0
+        # must already use the message's type — an int32-valued vertex
+        # table would otherwise write v0 as int and v1+ as long, and
+        # the multi-version parquet read fails on the physical-type
+        # mismatch.  The id column keeps ITS type: blocks.route hashes
+        # it, and xxhash64(int32) != xxhash64(long) for the same value
+        # (bucket_expr casts internally for the same reason).
+        from pyspark.sql.types import StructType
+
+        msg_type = StructType.fromDDL(msg_schema)["msg"].dataType
         if resume_manifest is not None:
             store.restore(resume_manifest)
             if frontier is None:
@@ -693,12 +704,16 @@ class PCEngine:
                     "frontier (engine.resume provides it)"
                 )
         else:
-            store.init(state)  # v0 = full state (incl. changed for frontier_fn)
+            canon = [
+                F.col("id"),
+                F.col("value").cast(msg_type).alias("value"),
+            ] + [F.col(c) for c in state.columns if c not in ("id", "value")]
+            store.init(state.select(*canon))  # v0 = full state
             if frontier is None:
                 frontier = frontier_fn(store.read_version(0))
         wants_step = _kernel_wants_step(kernel)
         empty_frontier = self.spark.createDataFrame(
-            [], "id long, value double"
+            [], StructType.fromDDL("id long").add("value", msg_type)
         )
         step = start_step
         while step < max_iter:

@@ -74,7 +74,14 @@ class BucketedStateStore:
 
     # ------------------------------------------------------------------
     def bucket_expr(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+        # Cast to long BEFORE hashing: xxhash64 hashes by physical type,
+        # so an int32 vertex id and the same value as a long (message
+        # dst is always long per msg_schema) would land in different
+        # buckets — active-bucket pruning would then read the wrong
+        # buckets and silently drop updates.
+        return F.pmod(
+            F.xxhash64(col.cast("long")), F.lit(self.n_buckets)
+        ).cast("int")
 
     def _vdir(self, step: int) -> str:
         return os.path.join(self.root, f"v={step}")

@@ -338,6 +338,31 @@ def test_statestore_delta_compaction_bounds_versions(spark, tmp_path):
     assert max(per_bucket.values()) <= max_versions + stagger_depth + 1
 
 
+def test_delta_store_int32_ids_schema_canonical(spark, tmp_path):
+    """A vertex table with int32 ids/values (e.g. TPC-H nation keys)
+    must not split the store across physical parquet types: v0 is
+    canonicalized to the message schema (id long, value = msg type), so
+    multi-version reads see one schema.  Regression: the gate's
+    cc_incremental over nation ids failed with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH (v0 int32, v1+ int64)."""
+    from pcgraph.algos.cc import connected_components
+
+    pdf = fixtures.odd_even_graph(n=60)
+    edges = fixtures.to_spark_edges(spark, pdf).select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+    )
+    classic, _ = connected_components(spark, edges, num_partitions=4)
+    inc, hist = connected_components(
+        spark, edges, num_partitions=4, incremental=True,
+        state_store_dir=str(tmp_path / "state"), n_buckets=8,
+    )
+    assert len(hist) > 2  # multiple versions actually written
+    a = {r["id"]: r["component"] for r in classic.collect()}
+    b = {r["id"]: r["component"] for r in inc.collect()}
+    assert a == b
+
+
 # ------------------------------------------------ LPA single-shuffle fold
 def test_lpa_update_single_message_shuffle(spark):
     """The LPA fold must move the message volume through exactly ONE
