@@ -200,8 +200,9 @@ class DeltaStateStore:
     round O(rows in touched buckets): messages from even a ~1k-row
     frontier hash into every bucket, so mid-tail rounds still shuffle
     and rewrite nearly the whole state (measured at 316M edges:
-    15.5 s/round at 173 active vertices, BENCH/sssp_inc_316m_r4.json
-    tag=bucket-rewrite).  When the algorithm's merge is an associative
+    13.6 s/round at 173 active vertices vs this model's 9.0 s,
+    BENCH/sssp_inc_316m_r4.json tag=bucket-rewrite vs tag=delta).
+    When the algorithm's merge is an associative
     MIN (CC's component label, SSSP's distance), full-bucket rewrites
     are unnecessary: a round may append ONLY its changed rows as a new
     version, and any read reconciles duplicates with ``min(value)`` per
