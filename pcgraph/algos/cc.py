@@ -106,6 +106,7 @@ def connected_components(
     max_versions: int = 8,
     delta: bool = True,
     strict: bool = False,
+    post_superstep=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run CC to convergence; returns (DataFrame[id, component], metrics).
 
@@ -152,8 +153,10 @@ def connected_components(
             incremental = True
             resume_manifest = meta["manifest"]
             n_buckets = int(meta.get("n_buckets", n_buckets))
-            state_store_dir = state_store_dir or os.path.join(
-                resume_from, "statestore"
+            state_store_dir = (
+                state_store_dir
+                or meta.get("state_store_dir_resolved")
+                or os.path.join(resume_from, "statestore")
             )
     else:
         if blocks.vertices_path is not None and vertices is None:
@@ -214,5 +217,6 @@ def connected_components(
         # (kept for A/B benchmarking; delta is strictly O(changed)).
         monotone="min" if delta else None,
         max_versions=max_versions,
+        post_superstep=post_superstep,
     )
     return state.select("id", F.col("value").alias("component")), history

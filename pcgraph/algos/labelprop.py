@@ -36,6 +36,12 @@ from ..partition import (
 )
 
 
+# Target histogram entries per fold task (see label_propagation's
+# agg_partitions doc): ~2M (dst,label)->cnt entries ~= 140 MB of
+# BytesToBytesMap — spill-free at 32 concurrent tasks on a 24 GB heap.
+_AGG_ROWS_PER_TASK = 2_000_000
+
+
 def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     """Emit per-partition (dst, label, cnt) partial histograms."""
     empty = pd.DataFrame(
@@ -98,12 +104,20 @@ def label_propagation(
     build's full edge shuffle.
 
     ``agg_partitions`` sets the parallelism of the per-round histogram
-    fold (default: ``spark.sql.shuffle.partitions``).  Early LPA rounds
-    carry ~one histogram row per edge, and a 32-partition hash aggregate
-    over 600M+ rows spills tens of GB (measured at 316M edges); raising
-    the fold to e.g. 4x shrinks per-task aggregate state at the cost of
-    one small extra exchange of the folded argmax into the state join's
-    partitioning.  Leave default when |E|/partitions fits in memory.
+    fold.  Early LPA rounds carry ~one histogram row per edge, and the
+    fold's hash aggregate is the engine's only spill regime: per-task
+    aggregate state is |partials| / agg_partitions entries, and when
+    that map exceeds its execution-memory share the aggregate falls
+    back to sort-based spilling — measured at 316M edges as 59 GB
+    memory / 8.6 GB disk spilled in ONE stage at 128 partitions
+    (per-stage breakdown, r5 diagnosis; the r4 round-2 totals were
+    100 GB).  Default (None): auto-sized from the edge count so each
+    fold task holds ~2M histogram entries (~140 MB of hash map) —
+    |E x (2 if undirected)| / 2M partitions, floored at
+    ``spark.sql.shuffle.partitions`` and capped at 2048.  The extra
+    exchange of the folded argmax into the state join's partitioning
+    is 40x smaller than the spill it removes.  Pass an explicit value
+    to pin the r4 behavior.
     """
     e = edges.select("src", "dst")
     raw_both = None
@@ -158,7 +172,26 @@ def label_propagation(
     # audited in scripts/explain_lpa_update.py: 2 full-volume
     # exchanges -> 1.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    agg_n = int(agg_partitions) if agg_partitions else n_shuffle
+    if agg_partitions:
+        agg_n = int(agg_partitions)
+    else:
+        # Auto-size the fold so each task's hash-aggregate map fits in
+        # its execution-memory share: partials are bounded by one row
+        # per directed adjacency, and ~2M entries/task (~140 MB incl.
+        # BytesToBytesMap overhead) leaves 32 concurrent tasks well
+        # inside a 0.6 x heap execution pool.  The parquet row-count
+        # here is a footer read, not a data scan.
+        n_raw = edges.count()
+        est_partials = n_raw * (1 if directed else 2)
+        # cap at the session's bypass-merge threshold: above it the
+        # kernel stage's repartition write switches to the sort path
+        # and buffers (= spills) its whole output per map task
+        bypass = int(
+            spark.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200")
+        )
+        agg_n = max(
+            n_shuffle, min(bypass, -(-est_partials // _AGG_ROWS_PER_TASK))
+        )
 
     def update(state_df, msgs, step):
         folded = (
@@ -206,12 +239,34 @@ def label_propagation(
     # raw edge table may be a multigraph, where duplicate edges
     # legitimately contribute counts > 1.
     if resumed is None and not directed and max_iter >= 1:
+        import os as _os
         import time as _time
 
         from pyspark.sql import Observation
 
+        from ..engine import _round_dir
+
         t0 = _time.monotonic()
-        best1 = raw_both.groupBy("dst").agg(F.min("src").alias("new_label"))
+        # The final min aggregate (and the state join behind it) runs at
+        # spark.sql.shuffle.partitions; at 32 partitions over a 633M-row
+        # adjacency that is ~20M hash-map entries per task — measured
+        # 23.5 GB of memory spill in round 1 at 316M edges.  Widen this
+        # one job to the same auto-sized fold width round 2+ uses (the
+        # map-side partial min is unaffected; AQE still coalesces small
+        # outputs).
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(agg_n))
+        # repartition BEFORE the fold: the map-side partial min would
+        # hold ~10M-entry hash maps per scan task (measured 32 GB
+        # memory / 12 GB disk spilled at 316M edges); a plain hash
+        # exchange streams via bypass-merge (agg_n <= the session
+        # bypass threshold) and the post-exchange fold holds ~2M
+        # entries/task.  ~2x the shuffle bytes, zero spill.
+        best1 = (
+            raw_both.repartition(agg_n, "dst")
+            .groupBy("dst")
+            .agg(F.min("src").alias("new_label"))
+        )
         state1 = (
             state.select("id", "value")
             .join(best1, state["id"] == best1["dst"], "left")
@@ -224,13 +279,37 @@ def label_propagation(
             )
         )
         obs1 = Observation("pcgraph_label_propagation_step1")
-        state = state1.observe(obs1, *metrics_exprs).localCheckpoint(eager=True)
+        action_src = state1.observe(obs1, *metrics_exprs)
+        # This reduction runs OUTSIDE engine.run, so it must keep the
+        # same checkpoint contract the classic loop's round 1 had: with
+        # checkpointing on, the round-1 state is written durably and
+        # committed, so a crash in round 2 resumes from round 1 instead
+        # of restarting the whole job.
+        do_ckpt1 = (
+            engine.checkpoint_dir is not None
+            and 1 % engine.checkpoint_every == 0
+        )
+        try:
+            if do_ckpt1:
+                rdir = _round_dir(engine.checkpoint_dir, 1)
+                action_src.write.mode("overwrite").parquet(
+                    _os.path.join(rdir, "state.parquet")
+                )  # the materializing action (fires the observation)
+                state = spark.read.parquet(
+                    _os.path.join(rdir, "state.parquet")
+                )
+            else:
+                state = action_src.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         m1 = metrics_post(dict(obs1.get), 1)
         m1.update(
             superstep=1,
             algorithm="label_propagation",
             round_sec=round(_time.monotonic() - t0, 4),
         )
+        if do_ckpt1:
+            engine._commit_round(blocks, 1, state.select("id", "value"), m1)
         engine.history.append(m1)
         if post_superstep is not None:
             post_superstep(1, m1)

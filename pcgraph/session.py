@@ -64,6 +64,15 @@ def get_spark(
         # builds must not trip the executor heartbeat (driver==executor)
         .config("spark.network.timeout", "600s")
         .config("spark.executor.heartbeatInterval", "60s")
+        # Plain repartition() shuffles (no map-side combine) stream
+        # straight to per-reduce-partition files below this threshold;
+        # above it they buffer + sort + SPILL in the map task.  The
+        # auto-sized LPA fold legitimately wants 200-512 reduce
+        # partitions at 10^8-10^9 edges, and measured at 316M edges the
+        # sort path spilled 10-15 GB/round in the kernel stage purely
+        # because 317 > the 200 default (docs/PERF.md r5).  512 keeps
+        # the per-map open-file count bounded (P_map x 512).
+        .config("spark.shuffle.sort.bypassMergeThreshold", "512")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

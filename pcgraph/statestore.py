@@ -243,6 +243,11 @@ class DeltaStateStore:
         self.committed: dict[int, list[int]] = {}
         self._retired: list[str] = []
         self._next_vid = 0
+        # canonical DDL type of the `value` column (recorded at init,
+        # re-detected from parquet footers on restore) — the
+        # empty-manifest read fallback must not guess `double` for a
+        # long-valued (CC label) store
+        self._value_type: str | None = None
 
     # -- shared layout helpers ----------------------------------------
     bucket_expr = BucketedStateStore.bucket_expr
@@ -258,6 +263,7 @@ class DeltaStateStore:
         """Write the full initial state as version 0 (the run's one
         O(|V|) write) and seed the manifest."""
         fs_delete(self.spark, self.root)
+        self._value_type = state.schema["value"].dataType.simpleString()
         (
             state.withColumn("bucket", self.bucket_expr(F.col("id")))
             .write.mode("overwrite")
@@ -278,6 +284,15 @@ class DeltaStateStore:
             max((v for vs in self.manifest.values() for v in vs), default=-1)
             + 1
         )
+        # one parquet-footer read re-establishes the canonical value type
+        for b, vs in sorted(self.manifest.items()):
+            for v in vs:
+                try:
+                    schema = self.spark.read.parquet(self._bdir(v, b)).schema
+                    self._value_type = schema["value"].dataType.simpleString()
+                    return
+                except Exception:
+                    continue
 
     # ------------------------------------------------------------------
     def read_buckets_raw(self, buckets: list[int]) -> DataFrame | None:
@@ -304,7 +319,9 @@ class DeltaStateStore:
             buckets = sorted(self.manifest)
         raw = self.read_buckets_raw(buckets)
         if raw is None:
-            return self.spark.createDataFrame([], "id long, value double")
+            return self.spark.createDataFrame(
+                [], f"id long, value {self._value_type or 'double'}"
+            )
         return raw.groupBy("id").agg(self._agg("value").alias("value"))
 
     def read_version(self, vid: int) -> DataFrame:
@@ -384,8 +401,11 @@ class DeltaStateStore:
         vid = self.write_delta(merged)
         for b in over:
             old = [v for v in self.manifest[b] if v not in (vid, protect)]
-            self.manifest[b] = [vid] + (
-                [protect] if protect in self.manifest[b] else []
+            # keep the promised ordering invariant: version lists are
+            # ascending (protect is always older than the consolidated
+            # vid the fold just allocated)
+            self.manifest[b] = sorted(
+                [vid] + ([protect] if protect in self.manifest[b] else [])
             )
             for v in old:
                 path = self._bdir(v, b)
