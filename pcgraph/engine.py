@@ -498,14 +498,16 @@ class PCEngine:
         per task and spilled 10-15 GB/round (r5 per-stage attribution,
         docs/PERF.md); at one block per task the buffers fit."""
         active_partitions = None
-        routed = routed.repartition(blocks.num_partitions, "partition_id")
+        # one block per kernel task — but NOT upstream of the prefilter
+        # collect below, which doesn't need the shuffle in its plan
+        widened = routed.repartition(blocks.num_partitions, "partition_id")
         if blocks.store_path is not None:
             # Block-store mode: the grouped-map only materializes
             # groups the frontier touches, and each kernel reads its
             # own partition's CSR rows worker-side — no JVM cache
             # scan, no Arrow transfer of the topology, and inactive
             # partitions are free (prefiltering is structural).
-            msgs = routed.groupby("partition_id").applyInPandas(
+            msgs = widened.groupby("partition_id").applyInPandas(
                 _bind_store(kernel_fn, blocks.store_path),
                 schema=msg_schema,
             )
@@ -519,7 +521,7 @@ class PCEngine:
                 active_partitions = len(pids)
                 blocks_df = blocks_df.filter(F.col("partition_id").isin(pids))
             msgs = (
-                routed.groupby("partition_id")
+                widened.groupby("partition_id")
                 .cogroup(blocks_df.groupby("partition_id"))
                 .applyInPandas(kernel_fn, schema=msg_schema)
             )

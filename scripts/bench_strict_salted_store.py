@@ -63,9 +63,16 @@ def main() -> None:
 
     # Pick the salt threshold from the measured skew: the top hub gets
     # ~16 salted slices; everything below the threshold is untouched.
+    # The degree census comes from the UNSALTED store's vertices
+    # sidecar (written at its build) — re-deriving it from the edge
+    # table would re-run the full symmetrize-distinct shuffle whose
+    # temp files then coexist on disk with the salted build's own.
     sym = symmetrize(edges)
+    unsalted_store = args.edges + f".symstore{args.partitions}"
     top = (
-        sym.groupBy("src").count().agg(F.max("count").alias("m")).collect()
+        spark.read.parquet(os.path.join(unsalted_store, "vertices"))
+        .agg(F.max("out_deg").alias("m"))
+        .collect()
     )[0]["m"]
     salt_threshold = max(65536, int(top) // 16)
 
@@ -115,6 +122,11 @@ def main() -> None:
         salt_threshold=salt_threshold, tag="sym",
     )
     build_salted_sec = round(time.monotonic() - t0, 2)
+    # release the build's shuffle files NOW — ContextCleaner only frees
+    # them at some later driver GC, and the iteration runs below need
+    # the disk headroom (the build shuffles the full 633M-row sym set)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(5)
 
     runs = [
         run("unsalted", args.edges + f".symstore{args.partitions}",
