@@ -60,6 +60,9 @@ def cc_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     block's edges until a local fixpoint; message every node whose
     component improved.
     """
+    from ..workerenv import optimize_worker
+
+    optimize_worker()
     if len(bpdf) == 0 or len(fpdf) == 0:
         return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="int64")})
     nodes, indptr, edst, _ = unpack_block(bpdf)

@@ -44,6 +44,9 @@ _AGG_ROWS_PER_TASK = 2_000_000
 
 def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     """Emit per-partition (dst, label, cnt) partial histograms."""
+    from ..workerenv import optimize_worker
+
+    optimize_worker()
     empty = pd.DataFrame(
         {
             "dst": pd.Series(dtype="int64"),

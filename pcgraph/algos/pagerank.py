@@ -39,6 +39,9 @@ from ..partition import (
 def pr_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     """Scatter pr/outdeg contributions along block edges, pre-summed per
     destination (one message per (partition, dst) instead of per edge)."""
+    from ..workerenv import optimize_worker
+
+    optimize_worker()
     empty = pd.DataFrame(
         {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
     )

@@ -39,6 +39,9 @@ def sssp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     over the block's weighted edges), the analog of the reference's local
     Dijkstra (PCSingleSourceShortestPaths.java:99-165) — same local
     fixpoint, numpy instead of a binary heap."""
+    from ..workerenv import optimize_worker
+
+    optimize_worker()
     empty = pd.DataFrame(
         {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
     )

@@ -46,9 +46,11 @@ def triangles_df(edges: DataFrame) -> DataFrame:
     a->c) embedding.
     """
     canon = canonical_edges(edges)
+    # one scan of canon for both endpoints (explode) instead of a
+    # two-branch union — halves the pre-shuffle scans of the edge set;
+    # the count per vertex is identical
     deg = (
-        canon.select(F.col("src").alias("v"))
-        .union(canon.select(F.col("dst").alias("v")))
+        canon.select(F.explode(F.array("src", "dst")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )

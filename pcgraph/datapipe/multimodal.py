@@ -73,6 +73,9 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     output for downstream joins."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..workerenv import optimize_worker
+
+        optimize_worker()
         for pdf in batches:
             feats = [
                 DECODERS[k](k, p).tolist()

@@ -47,11 +47,21 @@ def cosine_topk_bruteforce(
     ``queries`` has the same schema as ``embeddings``.  Self-matches are
     excluded; rank ties broken by neighbor id (deterministic).
     """
+    # Norms are hoisted BEFORE the join: computed once per vector
+    # instead of once per (query, candidate) pair — bit-identical
+    # (the per-pair expression was norm(qv) * norm(cv); the factors are
+    # per-vector constants), and it removes two 64-element folds from
+    # every scored pair (higher-order array functions are interpreted,
+    # not codegen'd, so per-pair work dominates this operator).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.crossJoin(c)
@@ -59,7 +69,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cos"
             ),
         )
@@ -86,15 +96,18 @@ def cosine_topk_bucketed(
     bucket(s).  The equi-join on the bucket id replaces the cross join —
     at 100 TB this is the difference between O(|Q|·|C|) and
     O(|Q|·|C|/n_buckets) with a shuffle on a bounded key."""
+    # per-vector norms hoisted above the join (see cosine_topk_bruteforce)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col(bucket_col).alias("bucket"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(bucket_col).alias("bucket"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.join(c, "bucket")
@@ -102,7 +115,7 @@ def cosine_topk_bucketed(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cos"
             ),
         )
@@ -132,17 +145,40 @@ def _nearest_buckets(
     Cosine rounded to 6 decimals + bucket-asc tie-break keeps the
     assignment identical across engines (floating-point sum order).
     The centroid table is k rows — always broadcast.
+
+    ``n_probe == 1`` (every corpus/training assignment) avoids the
+    window entirely: ``max(struct(ccos, -bucket))`` is the same argmax
+    (ccos desc, bucket asc — struct comparison orders NaN largest,
+    matching the window's NaN-first DESC order) computed as a hash
+    aggregate with map-side partial combine instead of a
+    shuffle-and-sort over |df| x k scored rows.
     """
-    scored = df.crossJoin(F.broadcast(cent)).select(
-        df[id_col],
-        df[vec_col],
+    withn = df.select(
+        df[id_col], df[vec_col], _norm(df[vec_col]).alias("_vn")
+    )
+    centn = cent.select("bucket", "cvec", _norm(F.col("cvec")).alias("_cn"))
+    scored = withn.crossJoin(F.broadcast(centn)).select(
+        F.col(id_col),
+        F.col(vec_col),
         "bucket",
         F.round(
             _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+            / (F.col("_vn") * F.col("_cn")),
             6,
         ).alias("ccos"),
     )
+    if n_probe == 1:
+        best = scored.groupBy(id_col).agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"), (-F.col("bucket")).alias("nb")
+                )
+            ).alias("m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        return best.select(
+            id_col, vec_col, (-F.col("m.nb")).alias("bucket")
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("bucket").asc()
     )
@@ -233,6 +269,10 @@ def cosine_topk_ivf(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     q = _nearest_buckets(q, cent, n_probe, "query_id", "qv")
+    # per-vector norms hoisted above the bucket join (bit-identical;
+    # see cosine_topk_bruteforce)
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    c = c.withColumn("cn", _norm(F.col("cv")))
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -241,7 +281,7 @@ def cosine_topk_ivf(
             "neighbor_id",
             (
                 _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+                / (F.col("qn") * F.col("cn"))
             ).alias("cos"),
         )
         .distinct()  # a candidate reachable via several probes counts once
@@ -324,6 +364,11 @@ def cosine_near_duplicates(
         )
         v = _nearest_buckets(v, cent, 1, "a_id", "av")
         w = _nearest_buckets(w, cent, 1, "b_id", "bv")
+    # per-vector norms hoisted above the pair join (bit-identical;
+    # see cosine_topk_bruteforce)
+    v = v.withColumn("an", _norm(F.col("av")))
+    w = w.withColumn("bn", _norm(F.col("bv")))
+    if n_centroids:
         pairs = v.join(w, "bucket")
     else:
         pairs = v.crossJoin(w)
@@ -336,7 +381,7 @@ def cosine_near_duplicates(
         .filter(
             F.round(
                 _dot(F.col("av"), F.col("bv"))
-                / (_norm(F.col("av")) * _norm(F.col("bv"))),
+                / (F.col("an") * F.col("bn")),
                 6,
             )
             >= F.lit(float(threshold))

@@ -62,6 +62,15 @@ from .statestore import BucketedStateStore, DeltaStateStore
 
 META_NAME = "_meta.json"
 
+# Target edges per kernel task when the block store records the edge
+# count (see _messages).  128k edges ~= a few ms of vectorized kernel
+# work — big enough to amortize the per-task python-runner protocol
+# cost, small enough that the cap (one block per task) still binds for
+# any graph that matters at scale.  Env override for benchmarking.
+_EDGES_PER_KERNEL_TASK = int(
+    os.environ.get("PCGRAPH_KERNEL_EDGES_PER_TASK", str(128 * 1024))
+)
+
 
 def _round_dir(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"round={step:05d}")
@@ -498,9 +507,22 @@ class PCEngine:
         per task and spilled 10-15 GB/round (r5 per-stage attribution,
         docs/PERF.md); at one block per task the buffers fit."""
         active_partitions = None
-        # one block per kernel task — but NOT upstream of the prefilter
-        # collect below, which doesn't need the shuffle in its plan
-        widened = routed.repartition(blocks.num_partitions, "partition_id")
+        # Physical width of the kernel stage (number of reduce
+        # partitions feeding applyInPandas).  One CSR block per task is
+        # the at-scale layout (spill-free shuffle write, r5); but each
+        # python-runner task has a fixed JVM<->worker protocol cost
+        # (~10-100 ms), so a SMALL graph must not fan a few thousand
+        # rows out over num_partitions tasks.  When the store records
+        # the edge count, size width to ~_EDGES_PER_KERNEL_TASK edges
+        # per task, capped at num_partitions — at 316M edges the cap
+        # binds (one block per task, exactly the r5 behavior), at sf0.1
+        # it is a handful of tasks.  Grouping semantics are unchanged:
+        # groups are keyed by partition_id regardless of the physical
+        # partition count.
+        width = blocks.num_partitions
+        if blocks.n_edges is not None:
+            width = max(1, min(width, -(-blocks.n_edges // _EDGES_PER_KERNEL_TASK)))
+        widened = routed.repartition(width, "partition_id")
         if blocks.store_path is not None:
             # Block-store mode: the grouped-map only materializes
             # groups the frontier touches, and each kernel reads its

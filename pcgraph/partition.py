@@ -99,6 +99,11 @@ class GraphBlocks:
     # full edge-table scan+distinct — at 316M edges ~20 min on 2 cores,
     # repeated by EVERY algorithm run.  The store writes it once.
     vertices_path: str | None = None
+    # edge count recorded at store build (None in cogroup mode): lets
+    # the engine size the kernel stage's physical width to the data —
+    # small graphs don't pay per-task python-runner overhead x P, big
+    # graphs keep one CSR block per task (engine._messages).
+    n_edges: int | None = None
 
     def route(self, frontier: DataFrame) -> DataFrame:
         """Attach ``partition_id`` to frontier rows [id, value...].
@@ -140,6 +145,9 @@ def _build_csr(pdf: pd.DataFrame) -> pd.DataFrame:
     CSR-style: ``indptr`` over nodes (dst-only nodes get empty ranges),
     ``edst`` as local node indices.
     """
+    from .workerenv import optimize_worker
+
+    optimize_worker()
     src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     has_w = "weight" in pdf.columns
@@ -440,6 +448,7 @@ def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
             if fs_exists(spark, os.path.join(vpath, "_SUCCESS"))
             else None
         ),
+        n_edges=(int(meta["n_edges"]) if meta.get("n_edges") is not None else None),
     )
 
 
