@@ -53,6 +53,8 @@ def word_shingles(
     ``textstats.fingerprint`` — dropping them entirely would silently
     bypass near-dup detection for short docs).
     """
+    from ._util import widen_small_input
+
     toks = F.split(F.col(text_col), " ")
     shingles = F.when(F.size(toks) < k, F.array(F.col(text_col))).otherwise(
         F.transform(
@@ -61,7 +63,8 @@ def word_shingles(
         )
     )
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        widen_small_input(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()
     )
 

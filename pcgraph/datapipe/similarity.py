@@ -154,7 +154,7 @@ def _nearest_buckets(
     shuffle-and-sort over |df| x k scored rows.
     """
     withn = df.select(
-        df[id_col], df[vec_col], _norm(df[vec_col]).alias("_vn")
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn")
     )
     centn = cent.select("bucket", "cvec", _norm(F.col("cvec")).alias("_cn"))
     scored = withn.crossJoin(F.broadcast(centn)).select(

@@ -94,6 +94,11 @@ def dependency_edges(source: DataFrame, level: str = "file") -> DataFrame:
     — the key is already low-cardinality text, and Catalyst/AQE handle
     skewed popular modules with skew-join splitting.
     """
+    from .datapipe._util import widen_small_input
+
+    # a one-file source table plans single-task scans, serializing the
+    # regex extraction on one core; no-op at scale (widen_small_input)
+    source = widen_small_input(source)
     imports = extract_imports(source)
     catalog = file_catalog(source).select(
         "module",

@@ -297,8 +297,19 @@ class PCEngine:
         """
         conf = self.spark.conf
         aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+        bcast_prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         if not self.aqe_in_loop:
             conf.set("spark.sql.adaptive.enabled", "false")
+        # The per-round merge join must NOT auto-broadcast the folded
+        # messages: the broadcast build is an extra job every round
+        # (each job has a fixed driver/py4j floor), while the sort-merge
+        # path fuses fold+merge+checkpoint into the final stage of the
+        # ONE materializing job — the state side is exchange- and
+        # sort-free from the previous round's checkpointed partitioning
+        # (module docstring), so SMJ costs no extra shuffle.  Explicit
+        # F.broadcast hints (mirror route, delta-loop sparse fold) are
+        # unaffected by the threshold.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             if state_store_dir is not None:
                 # A scalar-valued resume manifest (bucket -> version) is a
@@ -347,6 +358,7 @@ class PCEngine:
             )
         finally:
             conf.set("spark.sql.adaptive.enabled", aqe_prev)
+            conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_prev)
 
     def _run_loop(
         self,
@@ -547,6 +559,16 @@ class PCEngine:
                 .cogroup(blocks_df.groupby("partition_id"))
                 .applyInPandas(kernel_fn, schema=msg_schema)
             )
+        if width < blocks.num_partitions:
+            # Small-graph case only (the width cap did not bind): keep
+            # the downstream message fold at the same width — the
+            # algorithm's groupBy("dst") then reuses this partitioning
+            # instead of planning its own exchange at
+            # spark.sql.shuffle.partitions, so the fold/merge stages run
+            # `width` tasks, not 32+.  Replaces the fold's
+            # ENSURE_REQUIREMENTS exchange (same exchange count); never
+            # fires at scale, where width == num_partitions.
+            msgs = msgs.repartition(width, "dst")
         return msgs, active_partitions
 
     # ------------------------------------------------------------------

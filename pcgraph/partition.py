@@ -111,8 +111,15 @@ class GraphBlocks:
         Non-hub vertices go to their single hash partition; hub vertices
         are replicated to every salted partition that holds a slice of
         their out-edges (broadcast join — the mirror map is tiny).
+
+        The pid Column is unresolved (binds by name at analysis), so it
+        is built once and reused — route runs every superstep and each
+        Column construction is several py4j round-trips.
         """
-        default_pid = _pid_expr(F.col("id"), self.num_partitions)
+        default_pid = self.__dict__.get("_pid_col")
+        if default_pid is None:
+            default_pid = _pid_expr(F.col("id"), self.num_partitions)
+            self.__dict__["_pid_col"] = default_pid
         if self.mirrors is None:
             return frontier.withColumn("partition_id", default_pid)
         joined = frontier.join(F.broadcast(self.mirrors), on="id", how="left")
