@@ -197,26 +197,26 @@ def label_propagation(
         )
 
     def update(state_df, msgs, step):
+        # string expressions: a handful of py4j round-trips per round
+        # instead of one per Column op (see pagerank.update)
         folded = (
             msgs.repartition(agg_n, "dst")
             .groupBy("dst", "label")
-            .agg(F.sum("cnt").alias("cnt"))
+            .agg(F.expr("sum(cnt) as cnt"))
         )
         # deterministic arg-max: max count, ties -> smallest label
-        best = folded.groupBy("dst").agg(
-            F.min(
-                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label"))
-            ).alias("b")
-        ).select("dst", F.col("b.label").alias("new_label"))
-        joined = state_df.select("id", "value").join(
-            best, state_df["id"] == best["dst"], "left"
+        best = (
+            folded.groupBy("dst")
+            .agg(F.expr("min(struct(-cnt, label)) as b"))
+            .selectExpr("dst", "b.label as new_label")
         )
-        return joined.select(
+        joined = state_df.select("id", "value").join(
+            best, F.expr("id = dst"), "left"
+        )
+        return joined.selectExpr(
             "id",
-            F.coalesce(F.col("new_label"), F.col("value")).alias("value"),
-            F.coalesce(
-                F.col("new_label") != F.col("value"), F.lit(False)
-            ).alias("changed"),
+            "coalesce(new_label, value) as value",
+            "coalesce(new_label != value, false) as changed",
         )
 
     # changed-count rides the round's materializing job (observe) —

@@ -158,14 +158,19 @@ def pagerank(
     base = (1.0 - d) / n_vertices
 
     def update(state_df, msgs, step):
-        folded = msgs.groupBy("dst").agg(F.sum("msg").alias("msg"))
-        joined = state_df.join(folded, state_df["id"] == folded["dst"], "left")
-        new_pr = F.lit(base) + F.lit(d) * (
-            F.coalesce(F.col("msg"), F.lit(0.0))
-            + F.lit(loop_state["dangling"] / n_vertices)
-        )
-        return joined.select(
-            "id", new_pr.alias("pr"), F.col("pr").alias("prev_pr"), "out_deg"
+        # String expressions keep the per-round plan construction to a
+        # handful of py4j round-trips (a Column op is one round-trip
+        # each; measured ~340/round = ~0.13 s, a visible slice of a
+        # superstep).  repr() round-trips doubles exactly, so the
+        # arithmetic is bit-identical to the Column form.
+        folded = msgs.groupBy("dst").agg(F.expr("sum(msg) as msg"))
+        joined = state_df.join(folded, F.expr("id = dst"), "left")
+        dang = loop_state["dangling"] / n_vertices
+        return joined.selectExpr(
+            "id",
+            f"{base!r} + {d!r} * (coalesce(msg, 0.0) + {dang!r}) as pr",
+            "pr as prev_pr",
+            "out_deg",
         )
 
     # Convergence metrics ride the round's single materializing job via
@@ -191,8 +196,8 @@ def pagerank(
         }
 
     def frontier_fn(state_df):
-        return state_df.filter(F.col("out_deg") > 0).select(
-            "id", (F.col("pr") / F.col("out_deg")).alias("value")
+        return state_df.filter("out_deg > 0").selectExpr(
+            "id", "pr / out_deg as value"
         )
 
     state, history = engine.run(

@@ -142,14 +142,16 @@ def sssp(
         frontier = None  # derived from checkpointed state (source row)
 
     def update(state_df, msgs, step):
-        folded = msgs.groupBy("dst").agg(F.min("msg").alias("msg"))
+        # string expressions: a handful of py4j round-trips per round
+        # instead of one per Column op (see pagerank.update)
+        folded = msgs.groupBy("dst").agg(F.expr("min(msg) as msg"))
         joined = state_df.select("id", "value").join(
-            folded, state_df["id"] == folded["dst"], "left"
+            folded, F.expr("id = dst"), "left"
         )
-        return joined.select(
+        return joined.selectExpr(
             "id",
-            F.least(F.col("value"), F.col("msg")).alias("value"),
-            F.coalesce(F.col("msg") < F.col("value"), F.lit(False)).alias("changed"),
+            "least(value, msg) as value",
+            "coalesce(msg < value, false) as changed",
         )
 
     if incremental and state_store_dir is None:

