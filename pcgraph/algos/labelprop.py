@@ -192,9 +192,20 @@ def label_propagation(
         bypass = int(
             spark.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200")
         )
-        agg_n = max(
-            n_shuffle, min(bypass, -(-est_partials // _AGG_ROWS_PER_TASK))
-        )
+        needed = -(-est_partials // _AGG_ROWS_PER_TASK)
+        if needed >= n_shuffle:
+            # at-scale regime: unchanged r5 sizing (spill-free fold)
+            agg_n = min(bypass, needed)
+        else:
+            # small-graph regime: the fold fits trivially — size it
+            # like the engine's kernel stage (~128k rows/task) instead
+            # of forcing spark.sql.shuffle.partitions tasks whose
+            # per-task scheduling overhead dominates the work
+            from ..engine import _EDGES_PER_KERNEL_TASK
+
+            agg_n = max(
+                needed, -(-est_partials // _EDGES_PER_KERNEL_TASK)
+            )
 
     def update(state_df, msgs, step):
         # string expressions: a handful of py4j round-trips per round
