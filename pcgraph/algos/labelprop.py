@@ -116,11 +116,13 @@ def label_propagation(
     (per-stage breakdown, r5 diagnosis; the r4 round-2 totals were
     100 GB).  Default (None): auto-sized from the edge count so each
     fold task holds ~2M histogram entries (~140 MB of hash map) —
-    |E x (2 if undirected)| / 2M partitions, floored at
-    ``spark.sql.shuffle.partitions`` and capped at 2048.  The extra
-    exchange of the folded argmax into the state join's partitioning
-    is 40x smaller than the spill it removes.  Pass an explicit value
-    to pin the r4 behavior.
+    |E x (2 if undirected)| / 2M partitions, capped at the session's
+    ``spark.shuffle.sort.bypassMergeThreshold`` (the kernel stage's
+    repartition write must stay on the streaming bypass path; ADVICE r5
+    docstring fix).  When that spill-driven size is below
+    ``spark.sql.shuffle.partitions`` (small graphs) the fold is sized
+    like the engine's kernel stage (~128k rows/task) instead.  Pass an
+    explicit value to pin a width.
     """
     e = edges.select("src", "dst")
     raw_both = None

@@ -293,6 +293,16 @@ class DeltaStateStore:
                     return
                 except Exception:
                     continue
+        if self.manifest:
+            # Every referenced version dir was unreadable: the store
+            # root is wrong or missing.  Failing here names the path;
+            # silently restoring with _value_type=None would surface
+            # much later as an opaque read error (ADVICE r5).
+            raise FileNotFoundError(
+                f"delta state store restore: no version directory listed "
+                f"in the manifest is readable under {self.root!r} — wrong "
+                "or missing state_store_dir?"
+            )
 
     # ------------------------------------------------------------------
     def read_buckets_raw(self, buckets: list[int]) -> DataFrame | None:

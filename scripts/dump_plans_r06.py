@@ -4,7 +4,9 @@ Usage: python scripts/dump_plans_r06.py <repo_root> <out_dir> <suffix>
 
 Run once with the round-start checkout (suffix=before) and once with
 the final tree (suffix=after); the engine round plans are captured by
-intercepting the round-1 merge's localCheckpoint.
+intercepting the STEADY round's (last superstep's) localCheckpoint —
+round 2+, whose state side inherits the previous checkpoint's
+partitioning/ordering.
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ def write(name, df_or_text):
     print("wrote", path)
 
 
-# ---- engine round plans: capture the 2nd localCheckpoint (round-1 merge)
+# ---- engine round plans: capture the steady round's merge checkpoint
 from pyspark.sql.classic.dataframe import DataFrame as CDF  # noqa: E402
 
 _orig_ckpt = CDF.localCheckpoint
@@ -87,27 +89,27 @@ for name, fn in (
     (
         "pagerank_round",
         lambda: pagerank(
-            spark, edges, tol=1e-6, max_iter=1, num_partitions=32,
+            spark, edges, tol=1e-6, max_iter=2, num_partitions=32,
             blocks=blocks_pr,
         ),
     ),
     (
         "cc_round",
         lambda: connected_components(
-            spark, edges, num_partitions=32, max_iter=1, blocks=blocks_sym
+            spark, edges, num_partitions=32, max_iter=2, blocks=blocks_sym
         ),
     ),
     (
         "sssp_round",
         lambda: sssp(
             spark, edges, source=int(edges.agg(F.min("src")).collect()[0][0]),
-            num_partitions=32, max_iter=1, blocks=blocks_w,
+            num_partitions=32, max_iter=2, blocks=blocks_w,
         ),
     ),
     (
         "label_prop_round",
         lambda: label_propagation(
-            spark, edges, max_iter=2, num_partitions=32, blocks=blocks_sym
+            spark, edges, max_iter=3, num_partitions=32, blocks=blocks_sym
         ),
     ),
 ):
@@ -117,7 +119,8 @@ for name, fn in (
         fn()
     finally:
         CDF.localCheckpoint = _orig_ckpt
-    # first capture = initial state checkpoint; second = round-1 merge
+    # last capture = the final round's merge (round 2+: the STEADY
+    # shape, state side inheriting the previous checkpoint's partitioning)
     # (label_prop's round 1 is the JVM min-fold outside the engine, so
     # its LAST capture is the first engine round)
     plan = _captured[-1] if _captured else "<no checkpoint captured>"

@@ -250,3 +250,19 @@ def test_compact_version_lists_stay_sorted(spark, tmp_path):
     # values still reconcile to the global min
     rows = {r["id"]: r["value"] for r in store.read_reconciled().collect()}
     assert rows == {i: float(i) - 4 for i in range(8)}
+
+
+def test_delta_restore_raises_on_unreadable_store_root(spark, tmp_path):
+    """ADVICE r6: restoring a delta manifest whose version directories
+    are all missing (wrong/mis-resolved state_store_dir) must fail
+    loudly naming the root, not silently succeed with _value_type=None
+    and surface later as an opaque read error."""
+    import pytest
+
+    from pcgraph.statestore import DeltaStateStore
+
+    store = DeltaStateStore(
+        spark, str(tmp_path / "does_not_exist"), n_buckets=4, monotone="min"
+    )
+    with pytest.raises(FileNotFoundError, match="state_store_dir"):
+        store.restore({"0": [0], "1": [0]})
