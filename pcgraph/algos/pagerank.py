@@ -125,7 +125,8 @@ def pagerank(
         loop_state["dangling"] = float(meta["dangling"])
         engine.checkpoint_dir = engine.checkpoint_dir or resume_from
     else:
-        if blocks.vertices_path is not None and vertices is None:
+        use_census = blocks.vertices_path is not None and vertices is None
+        if use_census:
             # store sidecar: (id, out_deg) census written at block
             # build — skips the full edge-table scan+distinct init
             vset = spark.read.parquet(blocks.vertices_path)
@@ -136,23 +137,40 @@ def pagerank(
             vset = vset.join(out_deg, on="id", how="left").fillna(
                 0.0, subset=["out_deg"]
             )
-        vset = vset.persist()
-        # one pass for both init counts
-        row = vset.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("dang"),
-        ).collect()[0]
-        n_vertices = int(row["n"])
-        n_dangling = int(row["dang"] or 0)
-        init = 1.0 / n_vertices
-        state = vset.select(
-            "id",
-            F.lit(init).alias("pr"),
-            F.lit(init).alias("prev_pr"),
-            "out_deg",
-        )
-        loop_state["dangling"] = n_dangling * init
-        vset.unpersist()
+        if use_census and blocks.n_vertices is not None:
+            # census scalars were recorded at store build — init needs
+            # no aggregation job at all (the engine's initial
+            # checkpoint is then the only scan of the census)
+            n_vertices = blocks.n_vertices
+            n_dangling = blocks.n_dangling or 0
+            init = 1.0 / n_vertices
+            state = vset.select(
+                "id",
+                F.lit(init).alias("pr"),
+                F.lit(init).alias("prev_pr"),
+                "out_deg",
+            )
+            loop_state["dangling"] = n_dangling * init
+        else:
+            vset = vset.persist()
+            # one pass for both init counts
+            row = vset.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("out_deg") == 0, 1).otherwise(0)
+                ).alias("dang"),
+            ).collect()[0]
+            n_vertices = int(row["n"])
+            n_dangling = int(row["dang"] or 0)
+            init = 1.0 / n_vertices
+            state = vset.select(
+                "id",
+                F.lit(init).alias("pr"),
+                F.lit(init).alias("prev_pr"),
+                "out_deg",
+            )
+            loop_state["dangling"] = n_dangling * init
+            vset.unpersist()
 
     d = damping
     base = (1.0 - d) / n_vertices

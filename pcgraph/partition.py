@@ -104,6 +104,12 @@ class GraphBlocks:
     # small graphs don't pay per-task python-runner overhead x P, big
     # graphs keep one CSR block per task (engine._messages).
     n_edges: int | None = None
+    # vertex-census scalars recorded at store build (None when absent,
+    # e.g. a store written by an older build): PageRank init reads
+    # n_vertices / n_dangling from here instead of running an
+    # aggregation job per algorithm run.
+    n_vertices: int | None = None
+    n_dangling: int | None = None
 
     def route(self, frontier: DataFrame) -> DataFrame:
         """Attach ``partition_id`` to frontier rows [id, value...].
@@ -319,7 +325,8 @@ STORE_META = "store_meta.json"
 
 
 def save_block_store(
-    blocks: GraphBlocks, path: str, tag: str = "", n_edges: int | None = None
+    blocks: GraphBlocks, path: str, tag: str = "", n_edges: int | None = None,
+    extra_meta: dict | None = None,
 ) -> None:
     """Write CSR blocks as a BLOCK STORE: ``partition_id=N/`` directories
     of uncompressed Parquet, readable per-partition by the Python
@@ -346,6 +353,8 @@ def save_block_store(
     }
     if n_edges is not None:
         meta["n_edges"] = int(n_edges)
+    if extra_meta:
+        meta.update(extra_meta)
     if blocks.mirrors is not None:
         blocks.mirrors.write.mode("overwrite").parquet(os.path.join(path, "mirrors"))
     write_json_atomic(
@@ -429,7 +438,24 @@ def ensure_block_store(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "vertices"))
     )
-    save_block_store(built, path, tag=tag, n_edges=int(expected_edges))
+    # census scalars land in the meta: algorithm init (PageRank's
+    # n_vertices / dangling count) then needs no aggregation job at
+    # all — build-time cost, amortized like the census itself
+    census = (
+        spark.read.parquet(os.path.join(path, "vertices"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("d"),
+        )
+        .collect()[0]
+    )
+    save_block_store(
+        built, path, tag=tag, n_edges=int(expected_edges),
+        extra_meta={
+            "n_vertices": int(census["n"]),
+            "n_dangling": int(census["d"] or 0),
+        },
+    )
     built.unpersist()
     return open_block_store(spark, path)
 
@@ -456,6 +482,16 @@ def open_block_store(spark: SparkSession, path: str) -> GraphBlocks:
             else None
         ),
         n_edges=(int(meta["n_edges"]) if meta.get("n_edges") is not None else None),
+        n_vertices=(
+            int(meta["n_vertices"])
+            if meta.get("n_vertices") is not None
+            else None
+        ),
+        n_dangling=(
+            int(meta["n_dangling"])
+            if meta.get("n_dangling") is not None
+            else None
+        ),
     )
 
 
