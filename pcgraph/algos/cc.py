@@ -144,6 +144,7 @@ def connected_components(
 
     start_step = 0
     resume_manifest = None
+    ckpt_init = True  # initial-state checkpoint (engine._run_loop)
     if resume_from is not None:
         resumed = engine.resume(resume_from)
     else:
@@ -164,6 +165,9 @@ def connected_components(
     else:
         if blocks.vertices_path is not None and vertices is None:
             vset = spark.read.parquet(blocks.vertices_path).select("id")
+            # initial state = a cheap deterministic census scan: skip
+            # materializing it before round 1 (engine.run docstring)
+            ckpt_init = False
         else:
             vset = vertex_ids(sym)
             if vertices is not None:
@@ -223,5 +227,6 @@ def connected_components(
         monotone="min" if delta else None,
         max_versions=max_versions,
         post_superstep=post_superstep,
+        checkpoint_initial_state=ckpt_init,
     )
     return state.select("id", F.col("value").alias("component")), history

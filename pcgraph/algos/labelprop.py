@@ -149,6 +149,7 @@ def label_propagation(
     )
 
     start_step = 0
+    ckpt_init = True  # initial-state checkpoint (engine._run_loop)
     resumed = engine.resume(resume_from) if resume_from else None
     if resumed is not None:
         state, _, meta = resumed
@@ -157,6 +158,9 @@ def label_propagation(
     else:
         if blocks.vertices_path is not None and vertices is None:
             vset = spark.read.parquet(blocks.vertices_path).select("id")
+            # initial state = a cheap deterministic census scan: skip
+            # materializing it before round 1 (engine.run docstring)
+            ckpt_init = False
         else:
             vset = vertex_ids(e)
             if vertices is not None:
@@ -330,6 +334,10 @@ def label_propagation(
         if post_superstep is not None:
             post_superstep(1, m1)
         start_step = 1
+        # the round-1 state is already an opaque checkpoint (or a
+        # parquet read-back) — re-checkpointing it in engine.run would
+        # materialize a second full copy for nothing
+        ckpt_init = False
         if m1["active"] == 0 or max_iter == 1:
             return state.select("id", F.col("value").alias("label")), engine.history
 
@@ -349,5 +357,6 @@ def label_propagation(
         start_step=start_step,
         algorithm="label_propagation",
         post_superstep=post_superstep,
+        checkpoint_initial_state=ckpt_init,
     )
     return state.select("id", F.col("value").alias("label")), history

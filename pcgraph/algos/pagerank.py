@@ -117,6 +117,7 @@ def pagerank(
 
     start_step = 0
     loop_state = {"dangling": 0.0}
+    ckpt_init = True  # initial-state checkpoint (engine._run_loop)
     resumed = engine.resume(resume_from) if resume_from else None
     if resumed is not None:
         state, _, meta = resumed
@@ -137,10 +138,13 @@ def pagerank(
             vset = vset.join(out_deg, on="id", how="left").fillna(
                 0.0, subset=["out_deg"]
             )
+        if use_census:
+            # the initial state is a cheap deterministic census scan —
+            # no need to materialize it before round 1
+            ckpt_init = False
         if use_census and blocks.n_vertices is not None:
             # census scalars were recorded at store build — init needs
-            # no aggregation job at all (the engine's initial
-            # checkpoint is then the only scan of the census)
+            # no aggregation job at all
             n_vertices = blocks.n_vertices
             n_dangling = blocks.n_dangling or 0
             init = 1.0 / n_vertices
@@ -235,5 +239,6 @@ def pagerank(
         state_cols=["id", "pr", "out_deg"],
         post_superstep=post_superstep,
         strict=strict,
+        checkpoint_initial_state=ckpt_init,
     )
     return state.select("id", F.col("pr").alias("pagerank")), history

@@ -113,6 +113,7 @@ def sssp(
 
     start_step = 0
     resume_manifest = None
+    ckpt_init = True  # initial-state checkpoint (engine._run_loop)
     resumed = engine.resume(resume_from) if resume_from else None
     if resumed is not None:
         state, frontier, meta = resumed
@@ -130,6 +131,9 @@ def sssp(
     else:
         if blocks.vertices_path is not None and vertices is None:
             vset = spark.read.parquet(blocks.vertices_path).select("id")
+            # initial state = a cheap deterministic census scan: skip
+            # materializing it before round 1 (engine.run docstring)
+            ckpt_init = False
         else:
             vset = vertex_ids(e)
             if vertices is not None:
@@ -187,5 +191,6 @@ def sssp(
         monotone="min" if delta else None,
         max_versions=max_versions,
         post_superstep=post_superstep,
+        checkpoint_initial_state=ckpt_init,
     )
     return state.select("id", F.col("value").alias("distance")), history

@@ -244,6 +244,7 @@ class PCEngine:
         monotone: str | None = None,
         delta_broadcast_rows: int = 1_000_000,
         max_versions: int = 8,
+        checkpoint_initial_state: bool = True,
     ) -> tuple[DataFrame, list[dict]]:
         """Iterate to convergence.
 
@@ -366,6 +367,7 @@ class PCEngine:
                 frontier_fn, max_iter, metrics_fn, metrics_exprs,
                 metrics_post, start_step, algorithm, prefilter_blocks,
                 strict, state_cols, pre_superstep, post_superstep,
+                checkpoint_initial_state,
             )
         finally:
             conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -391,12 +393,26 @@ class PCEngine:
         state_cols: list[str] | None,
         pre_superstep: Callable[[int], None] | None,
         post_superstep: Callable[[int, dict], None] | None,
+        checkpoint_initial_state: bool = True,
     ) -> tuple[DataFrame, list[dict]]:
         # The initial state becomes the first opaque plan; the first
         # round's merge pays one state-side shuffle into hash(id)
         # partitioning, every later round inherits it from the previous
         # round's checkpointed merge output (no Exchange, no Sort).
-        state = state.localCheckpoint(eager=True, storageLevel=self._ckpt_level)
+        #
+        # ``checkpoint_initial_state=False`` (algorithms pass it when
+        # the initial state is a cheap deterministic scan — the store's
+        # vertex census): round 1 then embeds the scan directly.  The
+        # state subtree appears twice in the round-1 plan (frontier
+        # branch + merge branch), i.e. the census is read at most twice
+        # — cheaper than materializing an O(|V|) checkpoint first,
+        # at every scale.  The per-round checkpoint of the MERGE output
+        # (the lineage-cut that keeps rounds structurally identical) is
+        # unaffected.
+        if checkpoint_initial_state:
+            state = state.localCheckpoint(
+                eager=True, storageLevel=self._ckpt_level
+            )
         if frontier is None:
             frontier = frontier_fn(state)
         wants_step = _kernel_wants_step(kernel)
