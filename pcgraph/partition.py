@@ -611,15 +611,46 @@ def _fetch_remote_partition(store_path: str, partition_id: int) -> str:
     return pdir
 
 
+# In-process cache of store blocks for REUSED python workers: the
+# topology is immutable once written (save_block_store writes a fresh
+# directory and ensure_block_store refuses a store whose inputs
+# changed), yet every superstep's kernel re-reads and re-parses its
+# partition's parquet rows.  Reused workers keep this module alive, so
+# small stores (the whole sf0.1 topology is ~6 MB) are parsed once per
+# worker and every later round is a dict hit.  Budget-capped
+# (PCGRAPH_WORKER_BLOCK_CACHE_MB, default 64) so a 10^8-edge store's
+# multi-MB blocks never accumulate into worker RSS — past the budget,
+# reads behave exactly as before.
+_BLOCK_MEMCACHE: dict = {}
+_BLOCK_MEMCACHE_BYTES = [0]
+_BLOCK_MEMCACHE_ENV = "PCGRAPH_WORKER_BLOCK_CACHE_MB"
+
+
+def _memcache_put(key, df: pd.DataFrame) -> None:
+    budget = int(float(os.environ.get(_BLOCK_MEMCACHE_ENV, "64")) * (1 << 20))
+    size = int(df["data"].map(len).sum()) + 1024 if len(df) else 1024
+    if _BLOCK_MEMCACHE_BYTES[0] + size <= budget:
+        _BLOCK_MEMCACHE[key] = df
+        _BLOCK_MEMCACHE_BYTES[0] += size
+
+
 def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
     """Worker-side block read: one partition's CSR chunk rows as the
     same (chunk, col, data) frame the cogroup path delivers.  Local
     stores read directly (page-cache-hot after round 1); remote stores
-    (hdfs:// / s3a:// / ...) go through the worker-local LRU cache."""
+    (hdfs:// / s3a:// / ...) go through the worker-local LRU cache.
+    Parsed frames are additionally memoized in-process (budget-capped,
+    see _BLOCK_MEMCACHE) because reused workers serve the same
+    immutable store every superstep."""
     import glob as _glob
 
     import pyarrow as _pa
     import pyarrow.parquet as _pq
+
+    mkey = (store_path, int(partition_id))
+    cached = _BLOCK_MEMCACHE.get(mkey)
+    if cached is not None:
+        return cached
 
     empty = pd.DataFrame(
         {"chunk": pd.Series(dtype="int32"), "col": pd.Series(dtype="object"),
@@ -632,11 +663,14 @@ def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
         files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
         # an absent/empty local dir is a legitimately edgeless partition
         if not files:
+            _memcache_put(mkey, empty)
             return empty
         tables = [
             _pq.read_table(f, columns=["chunk", "col", "data"]) for f in files
         ]
-        return _pa.concat_tables(tables).to_pandas()
+        out = _pa.concat_tables(tables).to_pandas()
+        _memcache_put(mkey, out)
+        return out
 
     # Remote store via the worker-local LRU cache.  A concurrent task's
     # eviction may race between our fetch and read — the ``_complete``
@@ -651,13 +685,16 @@ def read_store_block(store_path: str, partition_id: int) -> pd.DataFrame:
         if not os.path.exists(os.path.join(part_dir, "_complete")):
             continue  # evicted between fetch and glob — re-fetch
         if not files:
+            _memcache_put(mkey, empty)
             return empty  # marker present: genuinely no parquet remotely
         try:
             tables = [
                 _pq.read_table(f, columns=["chunk", "col", "data"])
                 for f in files
             ]
-            return _pa.concat_tables(tables).to_pandas()
+            out = _pa.concat_tables(tables).to_pandas()
+            _memcache_put(mkey, out)
+            return out
         except (FileNotFoundError, OSError) as err:
             last_err = err  # file deleted mid-read — re-fetch
     raise RuntimeError(

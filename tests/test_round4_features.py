@@ -106,6 +106,11 @@ def test_remote_read_refetches_after_eviction(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("PCGRAPH_BLOCK_CACHE", cache)
     # route the plain local path through the remote/cache code path
     monkeypatch.setattr(P, "is_remote", lambda p: True)
+    # this test exercises the DISK cache's eviction race, which sits
+    # below the r6 in-process memoization — clear that layer so the
+    # reads actually reach the fetch machinery
+    P._BLOCK_MEMCACHE.clear()
+    P._BLOCK_MEMCACHE_BYTES[0] = 0
 
     got = P.read_store_block(store_blocks, 0)
     assert got.sort_values(["col", "chunk"]).equals(
@@ -117,6 +122,8 @@ def test_remote_read_refetches_after_eviction(spark, tmp_path, monkeypatch):
     pdir = os.path.join(cache, key, "partition_id=0")
     assert os.path.isdir(pdir)
     shutil.rmtree(pdir)
+    P._BLOCK_MEMCACHE.clear()
+    P._BLOCK_MEMCACHE_BYTES[0] = 0
 
     again = P.read_store_block(store_blocks, 0)  # re-fetches, not empty
     assert len(again) == len(expected)
