@@ -201,10 +201,11 @@ def train_ivf_centroids(
     Init = the ``n_centroids`` lowest-id vectors (no RNG — resumable and
     engine-portable); ``iters`` fixed assign/update rounds; new centroid
     = element-wise mean of its members rounded to 6 decimals (empty
-    buckets keep the old centroid).  The per-iteration driver collect is
-    the k x d model (a few KB) — the data-sized work (assignment + mean)
-    stays distributed: one broadcast cross join with k rows and one
-    (bucket, dim) aggregation per iteration.
+    buckets keep the old centroid).  The only driver collect is the
+    final k x d model (a few KB) — the data-sized work (assignment +
+    mean) stays distributed: one broadcast cross join with k rows and
+    one (bucket, dim) aggregation per iteration, chained lazily into a
+    single collected job.
     """
     emb = embeddings.select(
         F.col(id_col).alias("_id"),
