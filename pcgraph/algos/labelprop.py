@@ -42,6 +42,26 @@ from ..partition import (
 _AGG_ROWS_PER_TASK = 2_000_000
 
 
+def _fold_width(est_partials: int, n_shuffle: int, bypass: int) -> int:
+    """Auto-sized histogram-fold width (label_propagation docstring).
+
+    At-scale regime (spill-driven size >= n_shuffle): byte-for-byte the
+    r5 sizing, min(bypass, ceil(partials/2M)).  Small-graph regime:
+    ~128k rows/task like the engine's kernel stage, clamped at
+    n_shuffle so the target can only ever NARROW the fold (mid-size
+    graphs must not exceed the bypass-merge threshold the at-scale
+    sizing respects).
+    """
+    from ..engine import _EDGES_PER_KERNEL_TASK
+
+    needed = -(-est_partials // _AGG_ROWS_PER_TASK)
+    if needed >= n_shuffle:
+        return min(bypass, needed)
+    return max(
+        needed, min(n_shuffle, -(-est_partials // _EDGES_PER_KERNEL_TASK))
+    )
+
+
 def lp_kernel(key, fpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     """Emit per-partition (dst, label, cnt) partial histograms."""
     from ..workerenv import optimize_worker
@@ -198,20 +218,7 @@ def label_propagation(
         bypass = int(
             spark.conf.get("spark.shuffle.sort.bypassMergeThreshold", "200")
         )
-        needed = -(-est_partials // _AGG_ROWS_PER_TASK)
-        if needed >= n_shuffle:
-            # at-scale regime: unchanged r5 sizing (spill-free fold)
-            agg_n = min(bypass, needed)
-        else:
-            # small-graph regime: the fold fits trivially — size it
-            # like the engine's kernel stage (~128k rows/task) instead
-            # of forcing spark.sql.shuffle.partitions tasks whose
-            # per-task scheduling overhead dominates the work
-            from ..engine import _EDGES_PER_KERNEL_TASK
-
-            agg_n = max(
-                needed, -(-est_partials // _EDGES_PER_KERNEL_TASK)
-            )
+        agg_n = _fold_width(est_partials, n_shuffle, bypass)
 
     def update(state_df, msgs, step):
         # string expressions: a handful of py4j round-trips per round

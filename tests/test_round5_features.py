@@ -266,3 +266,23 @@ def test_delta_restore_raises_on_unreadable_store_root(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="state_store_dir"):
         store.restore({"0": [0], "1": [0]})
+
+
+def test_lpa_fold_width_regimes():
+    """r6 fold-width sizing: the small-graph 128k target must only ever
+    NARROW the fold (never exceed shuffle.partitions, and therefore
+    never the bypass-merge threshold); the at-scale spill-driven branch
+    is the unchanged r5 sizing min(bypass, ceil(partials/2M))."""
+    from pcgraph.algos.labelprop import _fold_width
+
+    # sf0.1 bench shape: 1.03M partials on 32 shuffle partitions -> 8
+    assert _fold_width(1_031_046, 32, 512) == 8
+    # mid-size: 76M partials on 64 shuffle partitions -> clamp at 64
+    # (the unclamped 128k target would be 580 > bypass 512)
+    assert _fold_width(76_000_000, 64, 512) == 64
+    # at-scale: 633M partials on 128 shuffle partitions -> r5 sizing
+    assert _fold_width(633_000_000, 128, 512) == 317
+    # at-scale, bypass-capped
+    assert _fold_width(2_000_000_000 * 2, 128, 512) == 512
+    # degenerate tiny graph: at least 1 task
+    assert _fold_width(10, 32, 512) == 1
