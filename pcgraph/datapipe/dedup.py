@@ -52,9 +52,22 @@ def word_shingles(
     shorter than k words shingle as their full text (mirrors
     ``textstats.fingerprint`` — dropping them entirely would silently
     bypass near-dup detection for short docs).
-    """
-    from ._util import widen_small_input
 
+    The ONE exchange here hash-partitions the raw documents BY ID
+    before the explode: Generate/Project preserve partitioning, so the
+    ``.distinct()`` (grouping on (id, shingle) ⊇ id) needs no second
+    exchange, and every downstream ``groupBy("id")`` — the signature
+    aggregation, computed on BOTH sides of the LSH band self-join; the
+    jaccard size counts — runs exchange-free on the cached layout.
+    Shuffling pre-explode text also moves ~k x fewer bytes than the
+    previous post-explode (id, shingle) distinct exchange.  The
+    explicit width (max(scan partitions, default parallelism)) keeps
+    tiny inputs spread across the cluster for the downstream sha256
+    work (AQE would coalesce a keyless small exchange to one task) and
+    never narrows an at-scale scan.  Trade: one document's shingles
+    now deduplicate on one task — per-task work is bounded by the
+    largest single document, which corpus pipelines cap upstream.
+    """
     toks = F.split(F.col(text_col), " ")
     shingles = F.when(F.size(toks) < k, F.array(F.col(text_col))).otherwise(
         F.transform(
@@ -62,8 +75,11 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
+    base = docs.select(F.col(id_col), F.col(text_col))
+    sc = docs.sparkSession.sparkContext
+    width = max(base.rdd.getNumPartitions(), sc.defaultParallelism)
     return (
-        widen_small_input(docs.select(F.col(id_col), F.col(text_col)))
+        base.repartition(width, F.col(id_col))
         .select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
         .distinct()
     )

@@ -8,8 +8,9 @@ centroid's bucket, and queries multi-probe their ``n_probe`` nearest
 buckets — an equi-join on the bucket id instead of a cross join, i.e.
 O(|Q|·|C|·n_probe/k) scanned pairs.  ``cosine_topk_bucketed`` remains
 for corpora with a precomputed cluster id.  All vector math is built-in
-``zip_with``/``aggregate`` expressions — JVM-side, codegen'd, no UDF;
-the trained centroids are a tiny k x d model broadcast to executors.
+``zip_with``/``aggregate`` expressions — JVM-side, no UDF; the trained
+centroids are a tiny k x d model folded into the plan as literals, so
+bucket assignment is map-only (no corpus shuffle, no broadcast build).
 
 Determinism (the correctness gate runs the same algorithm in DuckDB):
 centroid init = the k lowest-id vectors; assignment = max cosine
@@ -19,7 +20,7 @@ rounded to 6 decimals; empty buckets keep their previous centroid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -130,62 +131,96 @@ def cosine_topk_bucketed(
     )
 
 
-def _centroid_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        schema="bucket int, cvec array<double>",
-    )
+def _python_norm(vec: list[float]) -> float:
+    """Driver-side mirror of ``_norm``: same left-to-right fold over
+    IEEE binary64 as the Spark ``aggregate`` expression, so the literal
+    norm fed back into a plan is bit-identical to what the JVM would
+    have computed from the literal vector."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _scored_array_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """One SQL expression: the k-element array of
+    ``named_struct('ccos', round(cos(vec, centroid_b), 6), 'nb', -b)``
+    structs with the centroid vectors and norms inlined as double
+    literals.  Built as a single string so the whole k x d model costs
+    ONE py4j call and one parse — per-element ``F.lit`` construction is
+    ~1000x more driver time for a 8 x 64 model.  ``repr`` emits the
+    shortest round-trip decimal for a binary64 and Spark's ``...D``
+    literal parses it back with ``Double.parseDouble`` — bit-exact.
+    The arithmetic mirrors ``_dot``/``_norm`` exactly: same zip_with
+    multiply, same left-to-right aggregate fold, same 6-decimal round.
+    """
+    structs = []
+    for b, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        cn = _python_norm(c)
+        structs.append(
+            f"named_struct('ccos', round({dot} / (`_vn` * {cn!r}D), 6), "
+            f"'nb', {-b})"
+        )
+    return "array(" + ", ".join(structs) + ")"
 
 
 def _nearest_buckets(
-    df: DataFrame, cent: DataFrame, n_probe: int, id_col: str, vec_col: str
+    df: DataFrame, centroids: list[list[float]], n_probe: int,
+    id_col: str, vec_col: str,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest centroid buckets to each vector.
 
     Cosine rounded to 6 decimals + bucket-asc tie-break keeps the
     assignment identical across engines (floating-point sum order).
-    The centroid table is k rows — always broadcast.
 
-    ``n_probe == 1`` (every corpus/training assignment) avoids the
-    window entirely: ``max(struct(ccos, -bucket))`` is the same argmax
-    (ccos desc, bucket asc — struct comparison orders NaN largest,
-    matching the window's NaN-first DESC order) computed as a hash
-    aggregate with map-side partial combine instead of a
-    shuffle-and-sort over |df| x k scored rows.
+    The trained model is a tiny k x d table, so it is folded into the
+    plan as LITERALS and the assignment becomes a map-only expression:
+    no centroid DataFrame (``spark.createDataFrame`` on a driver list
+    parallelizes across ``defaultParallelism`` Python tasks just to ship
+    k rows), no broadcast cross join, and — the at-scale win — NO
+    shuffle of the corpus: the previous formulation's ``groupBy(id)``
+    argmax exchanged every corpus row once per assignment.
+
+    The k ``(ccos, -bucket)`` structs are built into ONE array so each
+    cosine is evaluated exactly once per row (a nested ``when`` fold
+    would copy the accumulator into every level — exponential
+    re-evaluation for interpreted higher-order expressions).
+
+    ``n_probe == 1``: ``array_max`` over that array is the same argmax
+    as the old ``max(struct(ccos, -bucket))`` grouped aggregate —
+    struct comparison orders NaN largest and breaks ``ccos`` ties on
+    ``-bucket`` (= smallest bucket) — without the corpus shuffle the
+    ``groupBy(id)`` form required.
+
+    ``n_probe > 1``: sort the array descending (NaN first, like the
+    window's DESC order), take the first ``n_probe``, explode —
+    replaces the ``row_number`` window (shuffle + sort) with a per-row
+    expression.
     """
+    arr = F.expr(_scored_array_sql(vec_col, centroids))
     withn = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn")
     )
-    centn = cent.select("bucket", "cvec", _norm(F.col("cvec")).alias("_cn"))
-    scored = withn.crossJoin(F.broadcast(centn)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "bucket",
-        F.round(
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (F.col("_vn") * F.col("_cn")),
-            6,
-        ).alias("ccos"),
-    )
     if n_probe == 1:
-        best = scored.groupBy(id_col).agg(
-            F.max(
-                F.struct(
-                    F.col("ccos"), (-F.col("bucket")).alias("nb")
-                )
-            ).alias("m"),
-            F.first(vec_col).alias(vec_col),
+        return withn.select(
+            id_col, vec_col, (-F.array_max(arr)["nb"]).alias("bucket")
         )
-        return best.select(
-            id_col, vec_col, (-F.col("m.nb")).alias("bucket")
-        )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("bucket").asc()
-    )
+    ranked = F.sort_array(arr, asc=False)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .drop("ccos", "rn")
+        withn.select(
+            id_col,
+            vec_col,
+            F.explode(F.slice(ranked, 1, n_probe)).alias("_pb"),
+        )
+        .select(id_col, vec_col, (-F.col("_pb.nb")).alias("bucket"))
     )
 
 
@@ -201,59 +236,44 @@ def train_ivf_centroids(
     Init = the ``n_centroids`` lowest-id vectors (no RNG — resumable and
     engine-portable); ``iters`` fixed assign/update rounds; new centroid
     = element-wise mean of its members rounded to 6 decimals (empty
-    buckets keep the old centroid).  The only driver collect is the
-    final k x d model (a few KB) — the data-sized work (assignment +
-    mean) stays distributed: one broadcast cross join with k rows and
-    one (bucket, dim) aggregation per iteration, chained lazily into a
-    single collected job.
+    buckets keep the old centroid).  Every driver collect is k- or
+    k x d-bounded (the init vectors and each iteration's means — a few
+    KB); the data-sized work (assignment + mean) stays distributed: a
+    map-only literal-centroid assignment and one (bucket, dim)
+    aggregation per iteration.
     """
     emb = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    # The whole Lloyd chain is built LAZILY — the k-row centroid table
-    # stays a DataFrame between iterations instead of a per-iteration
-    # driver collect, so training costs ONE collected job (plus its
-    # internal broadcast builds) rather than 1 + iters sequential jobs
-    # each paying the fixed driver/py4j job floor.  Values are
-    # bit-identical to the collect-per-iteration form: the same avg is
-    # rounded to 6 decimals either way, and re-feeding a collected
-    # float back as a literal never changed it.
-    w0 = Window.orderBy("_id")  # k rows after the limit — single task
-    cent = (
-        emb.orderBy("_id")
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(w0) - 1).cast("int").alias("bucket"),
-            F.col("_v").alias("cvec"),
-        )
-    )
+    # Init: the k lowest-id vectors, collected once (k rows).  Each
+    # Lloyd iteration is then ONE job: the assignment is a map-only
+    # literal-centroid expression (see _nearest_buckets — no broadcast
+    # build, no corpus shuffle), and the per-(bucket, dim) means come
+    # back as a k x d collect (bounded: 512 doubles at the default
+    # config).  Values are bit-identical to the previous lazy-chain
+    # form: the same avg is rounded to 6 decimals either way, a
+    # collected double re-fed as a literal is unchanged, and empty
+    # buckets keep their previous centroid (no mean row arrives for
+    # them).  The previous one-collected-job chain actually planned
+    # ~17 tiny AQE stages (per-iteration broadcast builds + exchanges)
+    # each paying the driver stage floor; 1 + iters simple jobs with
+    # two stages each is strictly fewer.
+    init = emb.orderBy("_id").limit(n_centroids).collect()
+    centroids = [list(r["_v"]) for r in init]
     for _ in range(iters):
-        assigned = _nearest_buckets(emb, cent, 1, "_id", "_v")
+        assigned = _nearest_buckets(emb, centroids, 1, "_id", "_v")
         means = (
             assigned.select("bucket", F.posexplode("_v").alias("pos", "val"))
             .groupBy("bucket", "pos")
             .agg(F.round(F.avg("val"), 6).alias("val"))
+            .collect()
         )
-        # rebuild the mean vector in pos order (posexplode emits every
-        # position, so the array is complete); empty buckets keep their
-        # previous centroid via the left join + coalesce
-        mean_vec = (
-            means.groupBy("bucket")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "val"))
-                ).alias("pv")
-            )
-            .select(
-                "bucket", F.transform("pv", lambda s: s["val"]).alias("mvec")
-            )
-        )
-        cent = cent.join(mean_vec, "bucket", "left").select(
-            "bucket", F.coalesce("mvec", "cvec").alias("cvec")
-        )
-    rows = cent.orderBy("bucket").collect()
-    return [list(r["cvec"]) for r in rows]
+        new = [list(c) for c in centroids]  # empty buckets keep theirs
+        for r in means:
+            new[r["bucket"]][r["pos"]] = r["val"]
+        centroids = new
+    return centroids
 
 
 def cosine_topk_ivf(
@@ -276,23 +296,21 @@ def cosine_topk_ivf(
     followed by exact cosine ranking of the candidates.  Pass
     ``centroids`` to reuse a trained quantizer.
     """
-    spark = embeddings.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(
             embeddings, n_centroids=n_centroids, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
-    cent = _centroid_df(spark, centroids)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    c = _nearest_buckets(c, cent, 1, "neighbor_id", "cv")
+    c = _nearest_buckets(c, centroids, 1, "neighbor_id", "cv")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    q = _nearest_buckets(q, cent, n_probe, "query_id", "qv")
+    q = _nearest_buckets(q, centroids, n_probe, "query_id", "qv")
     # per-vector norms hoisted above the bucket join (bit-identical;
     # see cosine_topk_bruteforce)
     q = q.withColumn("qn", _norm(F.col("qv")))
@@ -378,13 +396,9 @@ def cosine_near_duplicates(
         F.col(vec_col).cast("array<double>").alias("bv"),
     )
     if n_centroids:
-        spark = embeddings.sparkSession
-        cent = _centroid_df(
-            spark,
-            train_ivf_centroids(
-                embeddings, n_centroids=n_centroids, iters=iters,
-                id_col=id_col, vec_col=vec_col,
-            ),
+        cent = train_ivf_centroids(
+            embeddings, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
         )
         v = _nearest_buckets(v, cent, 1, "a_id", "av")
         w = _nearest_buckets(w, cent, 1, "b_id", "bv")
