@@ -110,8 +110,12 @@ def cosine_topk_bucketed(
         F.col(bucket_col).alias("bucket"),
         _norm(F.col(vec_col)).alias("cn"),
     )
+    # explicit broadcast of the query side: |queries| << |corpus| is
+    # this operator's contract, and a filtered query set inherits the
+    # corpus table's size estimate, so the planner would otherwise
+    # shuffle the whole corpus by bucket (see cosine_topk_ivf)
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -315,8 +319,22 @@ def cosine_topk_ivf(
     # see cosine_topk_bruteforce)
     q = q.withColumn("qn", _norm(F.col("qv")))
     c = c.withColumn("cn", _norm(F.col("cv")))
+    # The probe side is broadcast EXPLICITLY: IVF search assumes
+    # |queries| << |corpus| (the brute-force cross join is right
+    # otherwise), but the planner cannot see that — ``queries`` is
+    # usually a filter over the corpus table and inherits its size
+    # estimate, so at corpus scale the join planned sort-merge and
+    # shuffled the WHOLE corpus by bucket (measured: 0.5 GB of the
+    # 0.6 GB a 1M x 64 search shuffled).  With the hint the corpus is
+    # never shuffled: scan -> assign (map-only) -> broadcast join ->
+    # per-partition top-k.  No ``.distinct()`` on the candidates: a
+    # corpus vector sits in EXACTLY one bucket and a query's probe
+    # buckets are distinct by construction (slice of a sorted
+    # struct array / row_number <= n_probe), so each (query, neighbor)
+    # pair is scored at most once — the dedup was a full exchange of
+    # every scored candidate for structurally impossible duplicates.
     scored = (
-        q.join(c, "bucket")
+        F.broadcast(q).join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -326,7 +344,6 @@ def cosine_topk_ivf(
                 / (F.col("qn") * F.col("cn"))
             ).alias("cos"),
         )
-        .distinct()  # a candidate reachable via several probes counts once
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

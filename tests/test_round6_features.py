@@ -147,3 +147,21 @@ def test_shingle_layout_keeps_signatures_exchange_free(spark):
     # exactly one exchange: the pre-explode repartition by id; the
     # distinct and the signature aggregation reuse its partitioning
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ivf_search_broadcasts_probe_side_and_skips_distinct(spark):
+    """The candidate join must build from the (hinted) probe side —
+    never shuffle the corpus — and plan no aggregation-based dedup of
+    the scored candidates (each (query, neighbor) pair is scored at
+    most once by construction)."""
+    from pcgraph.datapipe.similarity import cosine_topk_ivf
+
+    rows = [(i, [float(i % 7 + 1), float(i % 5 + 1), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    out = cosine_topk_ivf(
+        df, df.filter(F.col("vec_id") < 3), k=2, n_centroids=4, iters=1,
+        n_probe=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
