@@ -96,7 +96,8 @@ def cosine_topk_bucketed(
     """IVF-style approximate top-k: only scan vectors in the query's
     bucket(s).  The equi-join on the bucket id replaces the cross join —
     at 100 TB this is the difference between O(|Q|·|C|) and
-    O(|Q|·|C|/n_buckets) with a shuffle on a bounded key."""
+    O(|Q|·|C|/n_buckets) scanned pairs, with the probe side broadcast
+    so the corpus itself is never shuffled."""
     # per-vector norms hoisted above the join (see cosine_topk_bruteforce)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -296,7 +297,9 @@ def cosine_topk_ivf(
 
     Corpus vectors sit in exactly one bucket; each query probes its
     ``n_probe`` nearest buckets, so the candidate join is an equi-join
-    on ``bucket`` — the 100 TB shape (shuffle on a bounded key) —
+    on ``bucket`` with the probe side broadcast — the corpus is scanned
+    once and never shuffled (assignment is a map-only literal-centroid
+    expression; |queries| << |corpus| is this operator's contract) —
     followed by exact cosine ranking of the candidates.  Pass
     ``centroids`` to reuse a trained quantizer.
     """
