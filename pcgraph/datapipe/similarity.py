@@ -149,6 +149,21 @@ def _python_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _double_literal_sql(x: float) -> str:
+    """SQL text for one double, covering the non-finite values ``repr``
+    would render unparseable (a degenerate corpus can push a centroid
+    component or norm to inf/NaN; the old DataFrame path computed
+    through them, so the literal path must too)."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "double('NaN')"
+    if math.isinf(x):
+        return "double('Infinity')" if x > 0 else "double('-Infinity')"
+    return f"{x!r}D"
+
+
 def _scored_array_sql(vec_col: str, centroids: list[list[float]]) -> str:
     """One SQL expression: the k-element array of
     ``named_struct('ccos', round(cos(vec, centroid_b), 6), 'nb', -b)``
@@ -163,15 +178,15 @@ def _scored_array_sql(vec_col: str, centroids: list[list[float]]) -> str:
     """
     structs = []
     for b, c in enumerate(centroids):
-        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        arr = "array(" + ", ".join(_double_literal_sql(x) for x in c) + ")"
         dot = (
             f"aggregate(zip_with(`{vec_col}`, {arr}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        cn = _python_norm(c)
+        cn = _double_literal_sql(_python_norm(c))
         structs.append(
-            f"named_struct('ccos', round({dot} / (`_vn` * {cn!r}D), 6), "
+            f"named_struct('ccos', round({dot} / (`_vn` * {cn}), 6), "
             f"'nb', {-b})"
         )
     return "array(" + ", ".join(structs) + ")"

@@ -165,3 +165,23 @@ def test_ivf_search_broadcasts_probe_side_and_skips_distinct(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_double_literal_sql_nonfinite_and_roundtrip(spark):
+    """Literal rendering must round-trip finite doubles bit-exactly and
+    produce parseable SQL for inf/NaN (a degenerate corpus can push a
+    centroid component there; the old DataFrame path computed through
+    them)."""
+    import struct as _struct
+
+    from pcgraph.datapipe.similarity import _double_literal_sql
+
+    vals = [1.5, -0.0, 1e-300, 2.5e-7, 3.141592653589793,
+            float("inf"), float("-inf"), float("nan")]
+    exprs = ", ".join(_double_literal_sql(v) for v in vals)
+    row = spark.range(1).selectExpr(f"array({exprs}) as a").collect()[0]["a"]
+    for got, want in zip(row, vals):
+        if math.isnan(want):
+            assert math.isnan(got)
+        else:
+            assert _struct.pack("<d", got) == _struct.pack("<d", want), (got, want)
